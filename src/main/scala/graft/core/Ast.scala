@@ -1,0 +1,193 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Parse-time policy for a single tag name.
+  *
+  * Semantics follow the reference's per-tag attribute flags
+  * (reference: domain/TagAttributes.java:26-92): a tag may not require a
+  * closing tag (`[*]`), may have a pre-formatted body (`[code]`), may be
+  * standalone (`[emoji]`), and may opt out of newline transformation.
+  */
+final case class TagAttributes(
+    doesNotRequireClosingTag: Boolean,
+    hasPreFormattedBody: Boolean,
+    standalone: Boolean,
+    transformNewLines: Boolean
+) {
+  /** Validation rules per reference domain/TagAttributes.java:76-91. */
+  def validate: Boolean = {
+    if (hasPreFormattedBody && (doesNotRequireClosingTag || standalone)) false
+    else if (doesNotRequireClosingTag) !standalone
+    else true
+  }
+}
+
+object TagAttributes {
+  /** The canonical BBCode config used throughout the reference test suite
+    * (reference: ParserAsserter.groovy:41-44).
+    */
+  val bbcodeCanonical: Map[String, TagAttributes] = Map(
+    "*" -> TagAttributes(doesNotRequireClosingTag = true, hasPreFormattedBody = false, standalone = false, transformNewLines = true),
+    "code" -> TagAttributes(doesNotRequireClosingTag = false, hasPreFormattedBody = true, standalone = false, transformNewLines = true),
+    "noparse" -> TagAttributes(doesNotRequireClosingTag = false, hasPreFormattedBody = true, standalone = false, transformNewLines = true),
+    "emoji" -> TagAttributes(doesNotRequireClosingTag = false, hasPreFormattedBody = false, standalone = true, transformNewLines = true)
+  )
+
+  /** HTML defaults merged under the caller's map
+    * (reference: HTMLParser.java:566-612): void elements, raw-text
+    * `script`/`style`, and `svg`.
+    */
+  val htmlDefaults: Map[String, TagAttributes] = {
+    val voidTag = TagAttributes(doesNotRequireClosingTag = true, hasPreFormattedBody = false, standalone = true, transformNewLines = true)
+    val rawText = TagAttributes(doesNotRequireClosingTag = false, hasPreFormattedBody = true, standalone = false, transformNewLines = false)
+    val voids = Seq("area", "base", "br", "col", "embed", "hr", "img", "input",
+      "link", "meta", "param", "source", "track", "wbr").map(_ -> voidTag)
+    (voids ++ Seq("script" -> rawText, "style" -> rawText,
+      "svg" -> TagAttributes(doesNotRequireClosingTag = false, hasPreFormattedBody = true, standalone = false, transformNewLines = true))).toMap
+  }
+}
+
+/** A node in the offset-indexed document tree. Nodes store only `int`
+  * indexes into the shared source `char[]`; every string is materialized
+  * lazily (reference: domain/BaseNode.java, domain/Node.java).
+  */
+sealed abstract class Node {
+  var doc: Doc = _
+  var begin: Int = 0
+  var end: Int = 0
+  def length: Int = end - begin
+  def rawString: String = doc.getString(begin, end)
+}
+
+/** Leaf text node; body is the lazy slice `source[begin, end)`
+  * (reference: domain/TextNode.java:34-83).
+  */
+final class TextNode(d: Doc, var parent: TagNode, b: Int, e: Int) extends Node {
+  doc = d; begin = b; end = e
+  def body: String = doc.getString(begin, end)
+
+  override def equals(o: Any): Boolean = o match {
+    case t: TextNode =>
+      begin == t.begin && end == t.end &&
+        (if (parent != null)
+           t.parent != null && parent.begin == t.parent.begin && parent.end == t.parent.end
+         else t.parent == null)
+    case _ => false
+  }
+  override def hashCode: Int = begin * 31 + end
+  override def toString: String = s"TextNode{body=$body}"
+}
+
+/** A parsed tag. Five-index anatomy
+  * `begin < nameEnd <= attributeBegin < bodyBegin <= bodyEnd <= end`
+  * (reference: domain/TagNode.java:59-233). Attribute insertion order is
+  * preserved (LinkedHashMap in the reference).
+  */
+final class TagNode(d: Doc, var parent: TagNode, b: Int) extends Node {
+  doc = d; begin = b
+  var nameEnd: Int = -1
+  var bodyBegin: Int = -1
+  var bodyEnd: Int = -1
+  var attribute: String = _
+  val attributes: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
+  val children: mutable.ArrayBuffer[Node] = mutable.ArrayBuffer.empty
+
+  def addChild(n: Node): Unit = children += n
+
+  /** Lazy name slice `source[begin+1, nameEnd)`; null when the tag has no
+    * name (reference: TagNode.java:194-199).
+    */
+  def name: String = if (nameEnd > begin + 1) doc.getString(begin + 1, nameEnd) else null
+
+  def hasBody: Boolean = bodyEnd != -1 && bodyBegin != bodyEnd
+
+  def hasClosingTag: Boolean = if (hasBody) bodyEnd != end else bodyBegin != end
+
+  def toTextNode: TextNode = new TextNode(doc, parent, begin, end)
+
+  /** Pre-order tag subtree flatten, self-inclusive
+    * (reference: BaseTagNode.java:37-48).
+    */
+  def childTagNodes: List[TagNode] =
+    this :: children.iterator.collect { case t: TagNode => t.childTagNodes }.flatten.toList
+
+  override def equals(o: Any): Boolean = o match {
+    case t: TagNode =>
+      begin == t.begin && end == t.end && nameEnd == t.nameEnd &&
+        bodyBegin == t.bodyBegin && bodyEnd == t.bodyEnd &&
+        attribute == t.attribute &&
+        attributes.toList == t.attributes.toList &&
+        children == t.children &&
+        (if (parent != null)
+           t.parent != null && parent.begin == t.parent.begin && parent.end == t.parent.end
+         else t.parent == null)
+    case _ => false
+  }
+  override def hashCode: Int = begin * 31 + end
+  override def toString: String =
+    s"TagNode[$name]{body=${if (hasBody) doc.getString(bodyBegin, bodyEnd) else ""}}"
+}
+
+/** Root of the document model. Owns the source `char[]`, the top-level
+  * children, and the two sorted offset sets that make the source
+  * reconstructable (reference: domain/Document.java:31-131).
+  */
+final class Doc(val source: Array[Char]) {
+  /** `(tagBegin, length)` spans of opening/closing tags; source minus these
+    * spans equals the concatenated text (Document.java:50-60).
+    */
+  val offsets: mutable.TreeSet[(Int, Int)] = mutable.TreeSet.empty
+  /** `(attrValueBegin, length)` of each attribute value (Document.java:32-42). */
+  val attributeOffsets: mutable.TreeSet[(Int, Int)] = mutable.TreeSet.empty
+  val children: mutable.ArrayBuffer[Node] = mutable.ArrayBuffer.empty
+
+  def addChild(n: Node): Unit = children += n
+  def getString(start: Int, end: Int): String = new String(source, start, end - start)
+
+  /** All tag nodes in the document, pre-order. */
+  def tagNodes: List[TagNode] =
+    children.iterator.collect { case t: TagNode => t.childTagNodes }.flatten.toList
+
+  override def equals(o: Any): Boolean = o match {
+    case d: Doc =>
+      java.util.Arrays.equals(source, d.source) && children == d.children &&
+        offsets == d.offsets && attributeOffsets == d.attributeOffsets
+    case _ => false
+  }
+  override def hashCode: Int = java.util.Arrays.hashCode(source)
+  override def toString: String =
+    s"Document{children=[${children.mkString(", ")}], offsets=[${offsets.map(o => s"${o._1}:${o._2}").mkString(", ")}]" +
+      s", attributeOffsets=[${attributeOffsets.map(o => s"${o._1}:${o._2}").mkString(", ")}]}"
+}
+
+/** Output-shift tracker: a sorted set of `(position, amount)` pairs.
+  * `computeOffsetFromIndex(i)` sums amounts at positions `<= i` — note the
+  * `>=` comparison and TreeSet dedup semantics are part of the contract
+  * (reference: domain/Offsets.java:33-88, pinned by
+  * FreemarkerTransformerTest.java:62-77).
+  */
+final class Offsets {
+  val pairs: mutable.TreeSet[(Int, Int)] = mutable.TreeSet.empty
+
+  def add(position: Int, amount: Int): Unit = pairs += ((position, amount))
+
+  def computeOffsetFromIndex(originalIndex: Int): Int = {
+    var total = 0
+    val it = pairs.iterator
+    while (it.hasNext) {
+      val p = it.next()
+      if (originalIndex >= p._1) total += p._2
+    }
+    total
+  }
+
+  def total: Int = pairs.iterator.map(_._2).sum
+
+  override def equals(o: Any): Boolean = o match {
+    case other: Offsets => pairs == other.pairs
+    case _ => false
+  }
+  override def hashCode: Int = pairs.hashCode
+  override def toString: String = pairs.mkString("[", ", ", "]")
+}

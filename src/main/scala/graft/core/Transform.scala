@@ -1,0 +1,100 @@
+package graft.core
+
+/** Thrown when a transformation fails: bad/missing renderer in strict mode
+  * or an unknown node class (reference: service/TransformException.java).
+  */
+final class TransformException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+object Transform {
+  /** Visitor tap invoked per transformed node: (node, result, newBody)
+    * (reference: service/Transformer.java:56-65).
+    */
+  type NodeConsumer = (Node, String, String) => Unit
+
+  /** Transforms a TextNode body during transformation
+    * (reference: service/Transformer.java:72-81).
+    */
+  type TransformFunction = (TextNode, String) => String
+
+  /** HTML escape + newline→`<br>` transform function with exact offset
+    * bookkeeping (reference: Transformer.java:89-167):
+    * `& → &amp; (+4)`, `< → &lt; (+3)`, `> → &gt; (+3)`, `" → &quot; (+5)`,
+    * `\n`/`\r` → `<br>` (+3), an LF/CR or CR/LF pair consumed together (+2);
+    * newline transform skipped when the parent tag's
+    * `TagAttributes.transformNewLines` is false.
+    */
+  def htmlEscape(offsets: Offsets, attributes: Map[String, TagAttributes]): TransformFunction =
+    (node: TextNode, original: String) => {
+      val build = new java.lang.StringBuilder(original.length + 16)
+      val ca = original.toCharArray
+      var i = 0
+      while (i < ca.length) {
+        (ca(i): @annotation.switch) match {
+          case '&' =>
+            build.append("&amp;")
+            if (offsets != null) offsets.add(node.begin + i, 4)
+          case '<' =>
+            build.append("&lt;")
+            if (offsets != null) offsets.add(node.begin + i, 3)
+          case '>' =>
+            build.append("&gt;")
+            if (offsets != null) offsets.add(node.begin + i, 3)
+          case '"' =>
+            build.append("&quot;")
+            if (offsets != null) offsets.add(node.begin + i, 5)
+          case c @ ('\n' | '\r') =>
+            val parentName =
+              if (node.parent != null && node.parent.name != null) node.parent.name.toLowerCase
+              else null
+            val suppress = parentName != null && attributes != null &&
+              attributes.get(parentName).exists(!_.transformNewLines)
+            if (suppress) {
+              build.append(c)
+            } else {
+              if (i + 1 < ca.length &&
+                  ((c == '\n' && ca(i + 1) == '\r') || (c == '\r' && ca(i + 1) == '\n'))) {
+                if (offsets != null) offsets.add(node.begin + i, 2)
+                i += 1
+              } else if (offsets != null) {
+                offsets.add(node.begin + i, 3)
+              }
+              build.append("<br>")
+            }
+          case c =>
+            build.append(c)
+        }
+        i += 1
+      }
+      build.toString
+    }
+
+  /** Escape without offsets/attributes (plain variant). */
+  val htmlEscapePlain: TransformFunction = htmlEscape(null, null)
+
+  /** Tag strip / main-content extraction: DFS appending TextNode bodies
+    * (optionally via the transform function); a TagNode failing the
+    * predicate emits its raw source slice instead of recursing
+    * (reference: service/TextTransformer.java:36-79).
+    */
+  def textTransform(doc: Doc,
+                    predicate: TagNode => Boolean = _ => true,
+                    fn: TransformFunction = null,
+                    consumer: NodeConsumer = null): String = {
+    val build = new java.lang.StringBuilder(doc.source.length)
+
+    def recurse(node: Node): Unit = node match {
+      case textNode: TextNode =>
+        var text = textNode.body
+        if (fn != null) text = fn(textNode, text)
+        if (consumer != null) consumer(textNode, text, text)
+        build.append(text)
+      case tagNode: TagNode =>
+        if (predicate(tagNode)) tagNode.children.foreach(recurse)
+        else build.append(tagNode.rawString)
+    }
+
+    doc.children.foreach(recurse)
+    build.toString
+  }
+}

@@ -1,24 +1,78 @@
 package graft
+
+import graft.pipeline.{ExtractJob, TranscriptGen}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry. Prints ONE JSON line:
+  * {"metric":...,"value":N,"unit":...,"queries":{...},"sf":...}
+  *
+  * Headline metric = transcript parse+transform throughput (turns/sec) at
+  * full parallelism, plus the two-cluster-size scaling evidence required by
+  * the north rule: the same extraction job, same input, run at cores/4 and
+  * at full cores — `scaling_efficiency = T_high / (4 * T_low)`.
+  * Per-query wall-clock for every SparkEntry query is reported under
+  * "queries".
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Time the extraction of `n` generated turns; returns (seconds, turns/s). */
+  private def timeExtract(spark: SparkSession, n: Long, parts: Int): (Double, Double) = {
+    val t0 = System.nanoTime()
+    ExtractJob.extract(TranscriptGen.turns(spark, n, seed = 42, partitions = parts))
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, n / sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lowCpus = math.max(1, cpus / 4)
+    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "1000000").toLong
+    // ≥ 4·cores·4 input splits so both parallelism levels are split-bound
+    val parts = math.max(128, cpus * 8)
+
+    // ---- scaling evidence: same job, same input, cores/4 then cores ----
+    val sLow = session(lowCpus)
+    timeExtract(sLow, benchTurns / 10, parts) // warmup (JIT)
+    val (lowSec, lowTput) = timeExtract(sLow, benchTurns, parts)
+    sLow.stop()
+
+    val sHigh = session(cpus)
+    timeExtract(sHigh, benchTurns / 10, parts) // warmup
+    val (highSec, highTput) = timeExtract(sHigh, benchTurns, parts)
+    val efficiency = highTput / ((cpus.toDouble / lowCpus) * lowTput)
+
+    // ---- per-query wall clock on the sf tables ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(sHigh, sfDir).write.format("noop").mode("overwrite").save(); true }
+               catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    sHigh.stop()
+
+    def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = (results.map { case (k, v) => s""""$k":${f(v)}""" } ++ Seq(
+      s""""extract_${lowCpus}c_sec":${f(lowSec)}""",
+      s""""extract_${cpus}c_sec":${f(highSec)}""",
+      s""""turns_per_sec_${lowCpus}c":${f(lowTput)}""",
+      s""""turns_per_sec_${cpus}c":${f(highTput)}""",
+      s""""scaling_efficiency":${f(efficiency)}""",
+      s""""bench_turns":$benchTurns"""
+    )).mkString("{", ",", "}")
+
+    println(s"""{"metric":"turns/sec parse+transform (local[$cpus])","value":${f(highTput)},"unit":"turns/sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

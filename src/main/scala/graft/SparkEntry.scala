@@ -1,13 +1,348 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{TagAttributes => CoreTagAttributes}
+import graft.ops.{DedupOps, MediaOps, SimOps, TextOps}
+import graft.pipeline.{ExtractJob, TranscriptGen, Udfs}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator, with an
+  * equivalent DuckDB-runnable ANSI-SQL oracle wherever the semantics are
+  * SQL-expressible. Parse/transform FSM operators additionally get
+  * *constructed* oracles: markup is built in-query around the markup-free
+  * `documents.text` corpus, so the expected output is expressible in pure
+  * SQL by construction while the Spark side exercises the real parser.
+  *
+  * Column names and row ordering are aligned between each query and its
+  * oracle. Float aggregation goes through decimal for bit-exact results.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the transcript extraction pipeline on generated data. */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = TranscriptGen.turns(spark, 2000, seed = 42, partitions = 8)
+    ExtractJob.extract(turns).toDF()
+      .select("conv_id", "turn_idx", "role", "plain_text", "html", "n_tags")
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Exact money aggregation: decimal-sum then one rounding to double. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational pipeline ops -----------------------------------------
+    "q_agg_pricing" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_join_segment_sales" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_window_top_event" -> ((s, dir) => {
+      val events = s.read.parquet(s"$dir/events.parquet")
+      events.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id")
+    }),
+
+    "q_topk_docs" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+    }),
+
+    "q_rollup_orders" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+    }),
+
+    "q_set_customers" -> ((s, dir) => {
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      customer.filter(col("c_acctbal") > 5000).select("c_custkey")
+        .intersect(orders.select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    }),
+
+    "q_events_daily" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("day", "event_type")
+    }),
+
+    // ---- text analysis ----------------------------------------------------
+    "q_docs_tokens" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextOps.distinctTokenCount(col("text")).cast("long").as("n_distinct_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_docs_quality" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+          TextOps.digitCount(col("text")).cast("long").as("n_digits"),
+          TextOps.upperCount(col("text")).cast("long").as("n_upper"),
+          TextOps.stopwordCount(col("text")).cast("long").as("n_stopwords"))
+        .orderBy("doc_id")
+    }),
+
+    "q_docs_langid" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TextOps.langId(col("text")).as("lang_guess"),
+          TextOps.stopwordCount(col("text"), "en").cast("long").as("n_stop_en"))
+        .orderBy("doc_id")
+    }),
+
+    "q_docs_fingerprint" -> ((s, dir) => {
+      DedupOps.exactDupRanks(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("fp"),
+          col("dup_rank").cast("long").as("dup_rank"), col("group_size"))
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_exact" -> ((s, dir) => {
+      docs(s, dir).groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+        .orderBy("fp")
+    }),
+
+    "q_token_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        array_distinct(TextOps.tokens(lower(col("text")))).as("toks"))
+      d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          size(array_intersect(col("a.toks"), col("b.toks"))).cast("long").as("n_inter"),
+          size(array_union(col("a.toks"), col("b.toks"))).cast("long").as("n_union"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- similarity search ------------------------------------------------
+    "q_ann_top1" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimOps.bruteForceTopK(e.filter(col("vec_id") < 25), e, k = 1)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id")
+    }),
+
+    // ---- parse/transform FSM ops with constructed oracles ------------------
+    "q_strip_constructed" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          Udfs.stripBBCode(concat(lit("[b]"), col("text"), lit("[/b] [list][*]"),
+            col("text"), lit("[*]tail[/list]"))).as("plain"))
+        .orderBy("doc_id")
+    }),
+
+    "q_render_constructed" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          Udfs.bbcodeToHtml(concat(lit("[b]"), col("text"), lit("[/b] [i]x[/i]"))).as("html"))
+        .orderBy("doc_id")
+    }),
+
+    "q_escape_constructed" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          Udfs.escapeHtml(concat(col("text"), lit(" <a & \"b\">"))).as("escaped"))
+        .orderBy("doc_id")
+    }),
+
+    "q_html_strip_constructed" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          Udfs.stripHtml(concat(lit("<div class=\"x\">"), col("text"),
+            lit("</div><br><script>s</script>"))).as("plain"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- transcript pipeline (generated markup; non-SQL-expressible) ------
+    "x_extract_transcripts" -> ((s, _) => {
+      val turns = TranscriptGen.turns(s, 20000, seed = 42, partitions = 16)
+      ExtractJob.extract(turns).toDF()
+        .select("conv_id", "turn_idx", "role", "plain_text", "html", "n_tags", "parse_error")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    "x_parse_error_rate" -> ((s, _) => {
+      val turns = TranscriptGen.turns(s, 20000, seed = 42, partitions = 16)
+      ExtractJob.extract(turns).toDF()
+        .agg(count(lit(1)).as("n_turns"),
+          sum(when(col("parse_error").isNotNull, 1L).otherwise(0L)).as("n_errors"),
+          sum(col("n_tags")).as("total_tags"))
+    }),
+
+    // ---- near-dup detection on planted duplicates (approx; rows-only) -----
+    "x_dedup_minhash" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzz tail")).as("text")))
+      DedupOps.minhashNearDups(planted, "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b", "inter", "union")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "x_dedup_simhash" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" z")).as("text")))
+      DedupOps.simhashNearDups(planted, "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "x_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimOps.lshTopK(e.filter(col("vec_id") < 25), e, k = 3, bits = 6)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- multimodal plumbing (stubbed decode; rows-only) ------------------
+    "x_media_features" -> ((s, dir) => {
+      val media = MediaOps.synthesize(docs(s, dir))
+      MediaOps.extractFeatures(media).toDF()
+        .select(col("media_id"), col("doc_id"), col("kind"), col("n_bytes"),
+          col("frames"), size(col("features")).as("n_dims"))
+        .orderBy("media_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  sum(l_quantity) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_price
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_join_segment_sales" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_top_event" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_topk_docs" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10",
+
+    "q_rollup_orders" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+        |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q_set_customers" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT SELECT o_custkey FROM orders ORDER BY c_custkey""".stripMargin,
+
+    "q_events_daily" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_docs_tokens" ->
+      """SELECT doc_id,
+        |  cast(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS bigint) AS n_tokens,
+        |  cast(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) END AS bigint) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_docs_quality" ->
+      """SELECT doc_id,
+        |  cast(length(text) AS bigint) AS n_chars,
+        |  cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS bigint) AS n_punct,
+        |  cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS bigint) AS n_digits,
+        |  cast(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS bigint) AS n_upper,
+        |  cast(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) END AS bigint) AS n_stopwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_docs_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS en_c,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','den'], t))) AS de_c,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une','dans','que','pour','des'], t))) AS fr_c,
+        |    len(list_filter(toks, t -> list_contains(['el','la','los','y','es','una','en','que','por','con'], t))) AS es_c
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(en_c, de_c, fr_c, es_c) = 0 THEN 'und'
+        |       WHEN en_c = greatest(en_c, de_c, fr_c, es_c) THEN 'en'
+        |       WHEN de_c = greatest(en_c, de_c, fr_c, es_c) THEN 'de'
+        |       WHEN fr_c = greatest(en_c, de_c, fr_c, es_c) THEN 'fr'
+        |       ELSE 'es' END AS lang_guess,
+        |  cast(en_c AS bigint) AS n_stop_en
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_docs_fingerprint" ->
+      """SELECT doc_id, fp,
+        |  cast(row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS bigint) AS dup_rank,
+        |  cast(count(*) OVER (PARTITION BY fp) AS bigint) AS group_size
+        |FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM documents) t ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  count(*) AS n_dups, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_token_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_id,
+        |  cast(len(list_intersect(a.toks, b.toks)) AS bigint) AS n_inter,
+        |  cast(len(list_distinct(list_concat(a.toks, b.toks))) AS bigint) AS n_union
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 ORDER BY doc_id""".stripMargin,
+
+    "q_ann_top1" ->
+      """SELECT query_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_cosine_similarity(list_transform(a.embedding, x -> cast(x AS double)),
+        |                             list_transform(b.embedding, x -> cast(x AS double))) DESC,
+        |      b.vec_id) AS rn
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 25 AND b.vec_id <> a.vec_id) t
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+
+    "q_strip_constructed" ->
+      "SELECT doc_id, text || ' ' || text || 'tail' AS plain FROM documents ORDER BY doc_id",
+
+    "q_render_constructed" ->
+      "SELECT doc_id, '<strong>' || text || '</strong> <em>x</em>' AS html FROM documents ORDER BY doc_id",
+
+    "q_escape_constructed" ->
+      "SELECT doc_id, text || ' &lt;a &amp; &quot;b&quot;&gt;' AS escaped FROM documents ORDER BY doc_id",
+
+    "q_html_strip_constructed" ->
+      "SELECT doc_id, text || 's' AS plain FROM documents ORDER BY doc_id"
+  )
 }

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, built
+  * from native Catalyst functions (whole-stage-codegen friendly; no UDFs in
+  * the hot path). Every operator here has an ANSI-SQL mirror used as its
+  * DuckDB oracle. Integer counts are preferred over float ratios so results
+  * are bit-exact across engines.
+  */
+object TextOps {
+  /** Whitespace tokens; empty/blank input → empty array (not [""]). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def distinctTokenCount(c: Column): Column = size(array_distinct(tokens(lower(c))))
+
+  /** Count of characters in `c` matching the regex character class. */
+  def charClassCount(c: Column, cls: String): Column =
+    length(c) - length(regexp_replace(c, cls, ""))
+
+  def punctCount(c: Column): Column = charClassCount(c, "[.,!?;:]")
+  def digitCount(c: Column): Column = charClassCount(c, "[0-9]")
+  def upperCount(c: Column): Column = charClassCount(c, "[A-Z]")
+
+  /** Tiny per-language stopword sets for the n-gram-free language-ID
+    * heuristic (high-frequency function words; enough to separate the four
+    * languages on running text).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "que", "por", "con")
+  )
+
+  /** Count of tokens contained in `words` (case-insensitive). */
+  def wordSetCount(c: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(lower(c)), t => array_contains(set, t)))
+  }
+
+  def stopwordCount(c: Column, lang: String = "en"): Column =
+    wordSetCount(c, stopwords(lang))
+
+  /** Language-ID heuristic: the language whose stopword hit-count is
+    * highest wins; ties and zero hits → "und" (undetermined). Evaluation
+    * order en→de→fr→es is part of the contract (mirrored in the oracle).
+    */
+  def langId(c: Column): Column = {
+    val counts = Seq("en", "de", "fr", "es").map(l => l -> stopwordCount(c, l))
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und"): Column) { case ((l, cnt), acc) =>
+      when(cnt === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality heuristics as exact integer signals. */
+  def qualitySignals(c: Column): Seq[(String, Column)] = Seq(
+    "n_chars" -> length(c),
+    "n_tokens" -> tokenCount(c),
+    "n_distinct_tokens" -> distinctTokenCount(c),
+    "n_punct" -> punctCount(c),
+    "n_digits" -> digitCount(c),
+    "n_upper" -> upperCount(c),
+    "n_stopwords" -> stopwordCount(c)
+  )
+
+  /** Composite quality score in [0,1] (float; oracled separately from the
+    * integer signals). Penalizes very short docs, low stopword density, and
+    * low type/token ratio — the usual cheap pretraining-corpus filters.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lenScore = least(nTok / lit(32.0), lit(1.0))
+    val stopScore = least(stopwordCount(c).cast("double") * lit(8.0) / greatest(nTok, lit(1.0)), lit(1.0))
+    val ttr = distinctTokenCount(c).cast("double") / greatest(nTok, lit(1.0))
+    round((lenScore + stopScore + least(ttr * lit(2.0), lit(1.0))) / lit(3.0), 4)
+  }
+
+  /** Exact content fingerprint: md5 of whitespace-normalized, lowercased
+    * text — the cheap dedup key.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Word k-shingles as an array column (native higher-order functions; no
+    * UDF): shingle i = tokens[i..i+k); fewer than k tokens → empty array.
+    */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = tokens(lower(c))
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import graft.core._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** The flagship extraction pipeline: scan transcripts → (optional salted
+  * repartition) → `mapPartitions` parse+strip+escape+render → ordered,
+  * resumable write with per-partition lineage and global metrics.
+  *
+  * Scale design notes:
+  *  - Parse/transform is strictly per-turn, so the hot stage runs on
+  *    natural input splits with NO shuffle at all by default; an explicit
+  *    salted repartition is available for pathologically skewed file splits
+  *    (a single conversation never has to be colocated for extraction).
+  *  - One parser/renderer "instance" per partition: the core is
+  *    allocation-light (offset-only AST on the shared char[]) and carries
+  *    no per-call state, so mapPartitions batches avoid per-row object
+  *    churn beyond the AST itself.
+  *  - Resume is per output bucket: output is hash-partitioned by `bucket`
+  *    (pmod(hash(conv_id), B)); a completed bucket is skipped on re-run by
+  *    listing the output tree — idempotent, no driver-side bookkeeping.
+  */
+object ExtractJob {
+
+  /** Core per-turn transform — pure, reused by the pipeline, UDFs, and
+    * tests as the single source of extraction semantics.
+    */
+  def extractTurn(t: Turn, cfg: Map[String, TagAttributes]): TurnOut = {
+    try {
+      val doc = BBCodeParser.parse(t.text, cfg)
+      val plain = Transform.textTransform(doc)
+      val offsets = new Offsets
+      val html = Render.transform(doc, BBCodeToHtml.renderers, strict = false,
+        _ => true, Transform.htmlEscape(offsets, cfg))
+      val packed = offsets.pairs.iterator
+        .map { case (p, a) => (p.toLong << 32) | (a.toLong & 0xffffffffL) }.toArray
+      TurnOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
+        plain, html, packed, doc.tagNodes.length, t.text.length, null)
+    } catch {
+      case e: Throwable =>
+        TurnOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
+          null, null, Array.emptyLongArray, 0,
+          if (t.text == null) 0 else t.text.length,
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  /** Metrics handle: global accumulators + a lineage Dataset of
+    * per-partition stats.
+    */
+  final case class Metrics(rows: LongAccumulator, errors: LongAccumulator,
+                           nanos: LongAccumulator)
+
+  def newMetrics(spark: SparkSession): Metrics = Metrics(
+    spark.sparkContext.longAccumulator("graft.extract.rows"),
+    spark.sparkContext.longAccumulator("graft.extract.parseErrors"),
+    spark.sparkContext.longAccumulator("graft.extract.nanos"))
+
+  /** The extraction stage: typed Dataset map over partitions. */
+  def extract(turns: Dataset[Turn],
+              cfg: Map[String, TagAttributes] = TagAttributes.bbcodeCanonical,
+              metrics: Option[Metrics] = None): Dataset[TurnOut] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.mapPartitions { iter =>
+      val t0 = System.nanoTime()
+      var n = 0L
+      var errs = 0L
+      val out = iter.map { t =>
+        val r = extractTurn(t, cfg)
+        n += 1
+        if (r.parse_error != null) errs += 1
+        r
+      }
+      new Iterator[TurnOut] {
+        private var reported = false
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !reported) {
+            reported = true
+            metrics.foreach { m =>
+              m.rows.add(n); m.errors.add(errs); m.nanos.add(System.nanoTime() - t0)
+            }
+          }
+          h
+        }
+        def next(): TurnOut = out.next()
+      }
+    }
+  }
+
+  /** Per-partition lineage rows (for a lineage sink table). */
+  def lineage(turns: Dataset[Turn],
+              cfg: Map[String, TagAttributes] = TagAttributes.bbcodeCanonical): Dataset[PartitionStat] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.mapPartitions { iter =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val t0 = System.nanoTime()
+      var n = 0L
+      var errs = 0L
+      while (iter.hasNext) {
+        val r = extractTurn(iter.next(), cfg)
+        n += 1
+        if (r.parse_error != null) errs += 1
+      }
+      Iterator.single(PartitionStat(pid, n, errs, System.nanoTime() - t0))
+    }
+  }
+
+  /** List completed output buckets (`bucket=N` dirs) for resume. */
+  def completedBuckets(spark: SparkSession, outDir: String): Set[Int] = {
+    val path = new Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Set.empty
+    else fs.listStatus(path).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt }
+      .toSet
+  }
+
+  /** Resumable run: hash-bucket by conversation, skip buckets already
+    * present in the output tree, write the rest partitioned by bucket.
+    * Re-running after a partial failure completes only the missing work.
+    */
+  def runResumable(spark: SparkSession, turns: Dataset[Turn], outDir: String,
+                   buckets: Int = 32,
+                   cfg: Map[String, TagAttributes] = TagAttributes.bbcodeCanonical,
+                   metrics: Option[Metrics] = None): Set[Int] = {
+    import spark.implicits._
+    val done = completedBuckets(spark, outDir)
+    val withBucket = turns.withColumn("bucket", pmod(hash(col("conv_id")), lit(buckets)))
+    val remaining = if (done.isEmpty) withBucket
+      else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
+
+    val pending = remaining.select("conv_id", "turn_idx", "role", "text", "tool", "ts").as[Turn]
+    val out = extract(pending, cfg, metrics)
+      .withColumn("bucket", pmod(hash(col("conv_id")), lit(buckets)))
+
+    out.write.mode(SaveMode.Append).partitionBy("bucket").parquet(outDir)
+    completedBuckets(spark, outDir)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness of the training-data ops: LSH recall vs brute force, cosine
+  * vs manual math, simhash locality, shingles/minhash behavior, media
+  * plumbing determinism.
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ops-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsDf: DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    val rows = (0 until 120).map { i =>
+      val base = (0 until 40).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i.toLong, base)
+    }
+    // plant near-dups: ids 1000+i are copies of i with one word appended
+    val planted = rows.take(30).map { case (i, t) => (1000L + i, t + " omega") }
+    spark.createDataFrame(rows ++ planted).toDF("doc_id", "text")
+  }
+
+  test("shingles: k-grams, short docs yield empty array") {
+    val df = spark.createDataFrame(Seq((1L, "a b c d"), (2L, "a b"), (3L, ""))).toDF("id", "t")
+    val r = df.select(col("id"), TextOps.shingles(col("t"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(r(1L) == Seq("a b c", "b c d"))
+    assert(r(2L).isEmpty)
+    assert(r(3L).isEmpty)
+  }
+
+  test("minhash LSH finds all planted near-dups (recall) with verified jaccard") {
+    val pairs = DedupOps.minhashNearDups(docsDf, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 30).map(i => (i.toLong, 1000L + i)).toSet
+    assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
+    // and no wildly-false positives: every reported pair really has j>=0.7
+    val verified = DedupOps.jaccardVerify(
+      DedupOps.minhashCandidates(docsDf, "doc_id", "text"), docsDf, "doc_id", "text")
+      .filter(col("jaccard") >= 0.7).count()
+    assert(verified == pairs.size)
+  }
+
+  test("simhash: planted near-dups collide with small hamming distance") {
+    val pairs = DedupOps.simhashNearDups(docsDf, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 30).map(i => (i.toLong, 1000L + i)).toSet
+    val found = expected.intersect(pairs)
+    assert(found.size >= 25, s"simhash recall too low: ${found.size}/30")
+  }
+
+  test("cosine matches manual computation") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 0.0f, 2.0f), Seq(2.0f, 1.0f, 0.0f)))).toDF("id", "a", "b")
+    val sim = df.select(SimOps.cosine(col("a"), col("b"))).head().getDouble(0)
+    val expected = 2.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert(math.abs(sim - expected) < 1e-12)
+  }
+
+  test("brute-force top-k agrees with driver-side exact computation") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 60).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val df = spark.createDataFrame(vecs.map { case (i, v) => (i, v.toSeq) }).toDF("vec_id", "embedding")
+    val topk = SimOps.bruteForceTopK(df.filter(col("vec_id") < 5), df, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    for (q <- 0 until 5) {
+      val qv = vecs(q)._2
+      val expected = vecs.filter(_._1 != q)
+        .map { case (i, v) => (i, cos(qv, v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(3).map(_._1)
+      val actual = (1 to 3).map(r => topk((q.toLong, r)))
+      assert(actual == expected, s"query $q")
+    }
+  }
+
+  test("LSH top-k returns true neighbors from the same bucket (sanity + recall bound)") {
+    val rnd = new scala.util.Random(3)
+    // clustered vectors: 10 clusters of 12, so bucket-mates are near
+    val vecs = (0 until 120).map { i =>
+      val c = i % 10
+      val center = Array.tabulate(8)(d => math.sin(c * 8 + d).toFloat * 2f)
+      (i.toLong, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq)
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val res = SimOps.lshTopK(df.filter(col("vec_id") < 10), df, k = 1, bits = 4)
+      .collect()
+    // every query found a neighbor, and it's from the query's own cluster
+    assert(res.length == 10)
+    res.foreach { r =>
+      assert(r.getLong(0) % 10 == r.getLong(1) % 10,
+        s"query ${r.getLong(0)} got cross-cluster neighbor ${r.getLong(1)}")
+    }
+  }
+
+  test("media pipeline: deterministic features, frames, kinds") {
+    val docs = spark.createDataFrame(Seq((0L, "abc"), (1L, "defg"), (2L, "hi"))).toDF("doc_id", "text")
+    val feats1 = MediaOps.extractFeatures(MediaOps.synthesize(docs)).collect().sortBy(_.media_id)
+    val feats2 = MediaOps.extractFeatures(MediaOps.synthesize(docs)).collect().sortBy(_.media_id)
+    assert(feats1.map(_.features.toSeq).toSeq == feats2.map(_.features.toSeq).toSeq)
+    assert(feats1.map(_.kind).toSeq == Seq("image", "audio", "video"))
+    assert(feats1.forall(_.n_bytes > 0))
+    val frames = MediaOps.sampleFrames(MediaOps.synthesize(docs)).collect()
+    assert(frames.nonEmpty)
+  }
+
+  test("langId separates languages on running text") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat sat of the mat and it is a good day for all"),
+      (2L, "der hund ist nicht mit der katze und das ist zu viel den"),
+      (3L, "le chat est dans la maison et les oiseaux pour que des"),
+      (4L, "xyzzy qwerty plugh"))).toDF("id", "text")
+    val r = df.select(col("id"), TextOps.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1L) == "en"); assert(r(2L) == "de"); assert(r(3L) == "fr"); assert(r(4L) == "und")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.core.TagAttributes
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-level pipeline verification: the distributed
+  * scan→shuffle→mapPartitions→write path must reproduce the pure-core
+  * per-turn results exactly, under any partitioning, with working
+  * bucket-level resume.
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-pipeline-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("distributed extract equals pure-core extract per turn (stable ordering)") {
+    val n = 4000
+    val out = ExtractJob.extract(TranscriptGen.turns(spark, n, seed = 42, partitions = 16))
+      .collect()
+      .map(o => (o.conv_id, o.turn_idx) -> ((o.plain_text, o.html, o.n_tags, o.parse_error)))
+      .toMap
+
+    assert(out.size == n)
+    var checked = 0
+    (0L until n.toLong).foreach { g =>
+      val t = TranscriptGen.turnAt(g, 42)
+      val e = ExtractJob.extractTurn(t, TagAttributes.bbcodeCanonical)
+      val a = out((t.conv_id, t.turn_idx))
+      assert(a == ((e.plain_text, e.html, e.n_tags, e.parse_error)),
+        s"mismatch at g=$g conv=${t.conv_id} idx=${t.turn_idx}")
+      checked += 1
+    }
+    assert(checked == n)
+  }
+
+  test("extract output is identical across parallelism levels") {
+    def run(parts: Int): Seq[(String, Int, String, String)] =
+      ExtractJob.extract(TranscriptGen.turns(spark, 2000, seed = 7, partitions = parts))
+        .collect()
+        .map(o => (o.conv_id, o.turn_idx, o.plain_text, o.html))
+        .sortBy(r => (r._1, r._2)).toSeq
+
+    assert(run(2) == run(17))
+  }
+
+  test("metrics accumulators count rows and errors") {
+    val m = ExtractJob.newMetrics(spark)
+    val ds = ExtractJob.extract(TranscriptGen.turns(spark, 1000, seed = 42, partitions = 4),
+      metrics = Some(m))
+    ds.count()
+    assert(m.rows.value == 1000L)
+    assert(m.errors.value == 0L)
+    assert(m.nanos.value > 0L)
+  }
+
+  test("per-partition lineage rows cover all input") {
+    val stats = ExtractJob.lineage(TranscriptGen.turns(spark, 1000, seed = 42, partitions = 8)).collect()
+    assert(stats.length == 8)
+    assert(stats.map(_.rows).sum == 1000L)
+    assert(stats.map(_.parse_errors).sum == 0L)
+  }
+
+  test("resumable run: interrupted output completes idempotently") {
+    val dir = Files.createTempDirectory("graft_resume").toString
+    val turns = TranscriptGen.turns(spark, 3000, seed = 42, partitions = 8)
+
+    // full run as reference
+    val refDir = Files.createTempDirectory("graft_ref").toString
+    ExtractJob.runResumable(spark, turns, refDir, buckets = 8)
+    val expected = spark.read.parquet(refDir)
+      .select("conv_id", "turn_idx", "plain_text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2))
+
+    // partial run: write everything, then delete two buckets to simulate a crash
+    ExtractJob.runResumable(spark, turns, dir, buckets = 8)
+    val fs = new java.io.File(dir)
+    fs.listFiles().filter(f => f.getName == "bucket=2" || f.getName == "bucket=5")
+      .foreach(f => { f.listFiles().foreach(_.delete()); f.delete() })
+    assert(ExtractJob.completedBuckets(spark, dir).size == 6)
+
+    // resume completes only the missing buckets
+    val done = ExtractJob.runResumable(spark, turns, dir, buckets = 8)
+    assert(done.size == 8)
+    val actual = spark.read.parquet(dir)
+      .select("conv_id", "turn_idx", "plain_text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2))
+    assert(actual.toSeq == expected.toSeq)
+  }
+
+  test("generator is deterministic and skewed") {
+    val a = TranscriptGen.turns(spark, 1000, seed = 42, partitions = 4).collect()
+    val b = TranscriptGen.turns(spark, 1000, seed = 42, partitions = 9).collect()
+    assert(a.sortBy(t => (t.conv_id, t.turn_idx)).toSeq == b.sortBy(t => (t.conv_id, t.turn_idx)).toSeq)
+
+    val sizes = a.groupBy(_.conv_id).view.mapValues(_.length).values.toSeq
+    assert(sizes.max > 50 * 8, "skewed conversation present") // conv 0 has 100x base
+  }
+}

@@ -1,0 +1,116 @@
+package graft.functions
+
+import graft.core._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers invoked from generated code (top-level Scala objects get
+  * static forwarders, so `graft.functions.NativeImpl.strip(s)` is valid
+  * generated Java).
+  */
+object NativeImpl {
+  private val cfg = TagAttributes.bbcodeCanonical
+
+  def strip(s: UTF8String): UTF8String =
+    UTF8String.fromString(Transform.textTransform(BBCodeParser.parse(s.toString, cfg)))
+
+  def render(s: UTF8String): UTF8String =
+    UTF8String.fromString(BBCodeToHtml(BBCodeParser.parse(s.toString, cfg)))
+
+  def stripHtml(s: UTF8String): UTF8String =
+    UTF8String.fromString(Transform.textTransform(HtmlParser.parse(s.toString, Map.empty)))
+
+  def tagCount(s: UTF8String): Int =
+    BBCodeParser.parse(s.toString, cfg).tagNodes.length
+}
+
+/** Native Catalyst expressions for the core transforms. Compared to a Scala
+  * UDF these stay inside whole-stage codegen (no wrapper lambda, no
+  * null-handling closure, no extra UTF8String→String→UTF8String row
+  * boundary beyond the unavoidable one inside the FSM) — the generated code
+  * calls the static helper directly.
+  */
+abstract class CoreStringExpression extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  def helper: String // static method name on NativeImpl
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any = evalImpl(input.asInstanceOf[UTF8String])
+  protected def evalImpl(s: UTF8String): Any
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeImpl.$helper($c)")
+}
+
+case class BBCodeStripExpr(child: Expression) extends CoreStringExpression {
+  override def helper: String = "strip"
+  override protected def evalImpl(s: UTF8String): Any = NativeImpl.strip(s)
+  override def prettyName: String = "bbcode_strip"
+  override protected def withNewChildInternal(newChild: Expression): BBCodeStripExpr =
+    copy(child = newChild)
+}
+
+case class BBCodeRenderExpr(child: Expression) extends CoreStringExpression {
+  override def helper: String = "render"
+  override protected def evalImpl(s: UTF8String): Any = NativeImpl.render(s)
+  override def prettyName: String = "bbcode_to_html"
+  override protected def withNewChildInternal(newChild: Expression): BBCodeRenderExpr =
+    copy(child = newChild)
+}
+
+case class HtmlStripExpr(child: Expression) extends CoreStringExpression {
+  override def helper: String = "stripHtml"
+  override protected def evalImpl(s: UTF8String): Any = NativeImpl.stripHtml(s)
+  override def prettyName: String = "html_strip"
+  override protected def withNewChildInternal(newChild: Expression): HtmlStripExpr =
+    copy(child = newChild)
+}
+
+case class BBCodeTagCountExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any = NativeImpl.tagCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeImpl.tagCount($c)")
+  override def prettyName: String = "bbcode_tag_count"
+  override protected def withNewChildInternal(newChild: Expression): BBCodeTagCountExpr =
+    copy(child = newChild)
+}
+
+/** Registration: either via `spark.sql.extensions=graft.functions.GraftExtensions`
+  * on spark-submit, or [[GraftFunctions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("bbcode_strip_native",
+      new ExpressionInfo(classOf[BBCodeStripExpr].getName, "bbcode_strip_native"),
+      (args: Seq[Expression]) => BBCodeStripExpr(args.head)),
+    ("bbcode_to_html_native",
+      new ExpressionInfo(classOf[BBCodeRenderExpr].getName, "bbcode_to_html_native"),
+      (args: Seq[Expression]) => BBCodeRenderExpr(args.head)),
+    ("html_strip_native",
+      new ExpressionInfo(classOf[HtmlStripExpr].getName, "html_strip_native"),
+      (args: Seq[Expression]) => HtmlStripExpr(args.head)),
+    ("bbcode_tag_count_native",
+      new ExpressionInfo(classOf[BBCodeTagCountExpr].getName, "bbcode_tag_count_native"),
+      (args: Seq[Expression]) => BBCodeTagCountExpr(args.head))
+  )
+
+  /** Register on an existing session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

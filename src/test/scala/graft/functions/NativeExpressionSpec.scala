@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.core._
+import graft.pipeline.Udfs
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expression path must agree exactly with the UDF path and
+  * the pure core, survive codegen, and register via SparkSessionExtensions.
+  */
+class NativeExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-expr-test")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val samples = Seq(
+    "[b]hello[/b] world",
+    "[list][*]a[*]b[/list]",
+    "[code]x < y && z[/code]",
+    "\\[b]escaped\\[/b]",
+    "plain [ stray",
+    "[quote=u]q[/quote] <html> & \"x\"",
+    ""
+  )
+
+  test("native expressions equal UDF path and pure core (via extensions)") {
+    val s = spark; import s.implicits._
+    val df = samples.toDF("t")
+    df.createOrReplaceTempView("samples")
+    val rows = spark.sql(
+      """SELECT t, bbcode_strip_native(t) AS ns, bbcode_to_html_native(t) AS nh,
+        |       html_strip_native(t) AS nhs, bbcode_tag_count_native(t) AS nc
+        |FROM samples""".stripMargin).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val doc = BBCodeParser.parse(t, TagAttributes.bbcodeCanonical)
+      assert(r.getString(1) == Transform.textTransform(doc), s"strip: $t")
+      assert(r.getString(2) == BBCodeToHtml(doc), s"render: $t")
+      assert(r.getString(3) == Transform.textTransform(HtmlParser.parse(t, Map.empty)), s"html: $t")
+      assert(r.getInt(4) == doc.tagNodes.length, s"count: $t")
+    }
+  }
+
+  test("expression survives codegen and constant folding") {
+    val df = spark.sql("SELECT bbcode_strip_native('[b]x[/b]') AS s")
+    assert(df.head().getString(0) == "x")
+    // non-literal path exercises doGenCode
+    val s = spark; import s.implicits._
+    val big = (1 to 1000).map(i => s"[b]v$i[/b]").toDF("t")
+    val out = big.selectExpr("bbcode_strip_native(t) AS s").agg(count(when(col("s").startsWith("v"), 1))).head().getLong(0)
+    assert(out == 1000L)
+  }
+
+  test("null propagates (nullIntolerant)") {
+    val s = spark; import s.implicits._
+    val df = Seq[Option[String]](Some("[b]a[/b]"), None).toDF("t")
+    val r = df.selectExpr("bbcode_strip_native(t) AS s").collect().map(r => Option(r.getString(0)))
+    assert(r.toSeq == Seq(Some("a"), None))
+  }
+
+  test("runtime registration helper works without extensions") {
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT bbcode_to_html_native('[i]y[/i]') AS h").head().getString(0) == "<em>y</em>")
+  }
+
+  test("UDF registrations agree with native expressions") {
+    Udfs.registerAll(spark)
+    val s = spark; import s.implicits._
+    val df = samples.toDF("t")
+    df.createOrReplaceTempView("samples2")
+    val diff = spark.sql(
+      """SELECT count(*) FROM samples2
+        |WHERE strip_bbcode(t) <> bbcode_strip_native(t)
+        |   OR bbcode_to_html(t) <> bbcode_to_html_native(t)""".stripMargin).head().getLong(0)
+    assert(diff == 0L)
+  }
+}

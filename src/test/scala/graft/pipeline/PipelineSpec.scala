@@ -103,6 +103,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(actual.toSeq == expected.toSeq)
   }
 
+  test("salted conversation assembly equals single-shuffle assembly") {
+    val turns = ExtractJob.extract(TranscriptGen.turns(spark, 4000, seed = 42, partitions = 8)).toDF()
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "n_turns", "conv_text").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val naive = collectMap(ConvAssembly.assemble(turns))
+    val salted = collectMap(ConvAssembly.assembleSalted(turns, chunk = 64))
+    assert(naive.keySet == salted.keySet)
+    naive.foreach { case (k, v) => assert(salted(k) == v, s"conv $k") }
+    // the skewed conversation (conv 0 of each block) must span multiple chunks
+    val big = naive.keys.min
+    assert(naive(big)._1 > 64, "skewed conversation spans chunks")
+  }
+
+  test("turn rank window is dense and ordered") {
+    val turns = TranscriptGen.turns(spark, 2000, seed = 42, partitions = 8).toDF()
+    val ranked = ConvAssembly.withTurnRank(turns)
+      .select("conv_id", "turn_idx", "turn_rank").collect()
+      .groupBy(_.getString(0))
+    ranked.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.zipWithIndex.forall { case (r, i) => r.getInt(2) == i + 1 })
+    }
+  }
+
   test("generator is deterministic and skewed") {
     val a = TranscriptGen.turns(spark, 1000, seed = 42, partitions = 4).collect()
     val b = TranscriptGen.turns(spark, 1000, seed = 42, partitions = 9).collect()

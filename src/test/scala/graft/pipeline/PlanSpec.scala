@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the properties that matter at 100 TB must be
+  * visible in the plan, not assumed: no shuffle in the extraction hot path,
+  * broadcast joins for small dimensions, column pruning reaching the scan.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-plan-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(collectPlan)
+  }
+
+  test("extraction pipeline plans with zero shuffles") {
+    val plan = ExtractJob.extract(TranscriptGen.turns(spark, 1000, 42, 4))
+      .queryExecution.executedPlan
+    val shuffles = collectPlan(plan).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, s"extraction must not shuffle:\n$plan")
+  }
+
+  test("dimension join is broadcast, not shuffled") {
+    val df = SparkEntry.queries("q_join_segment_sales")(spark, sfDir)
+    df.collect() // let AQE finalize
+    val s = df.queryExecution.executedPlan.toString() // includes query stages
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$s")
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val df = SparkEntry.queries("q_topk_docs")(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.toString()
+    // only the two selected columns should be read
+    assert(scans.contains("ReadSchema"), scans)
+    val readSchema = scans.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("n_chars")
+      && !readSchema.contains("text"), readSchema)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet").filter("vec_id < 25")
+    val s = df.queryExecution.executedPlan.toString()
+    assert(s.contains("PushedFilters") && s.contains("LessThan(vec_id,25)"), s)
+  }
+
+  test("whole-stage codegen covers the text-analysis operators") {
+    val df = SparkEntry.queries("q_docs_quality")(spark, sfDir)
+    df.collect() // finalize AQE so codegen stages appear
+    // codegen'd operators carry a *(n) stage prefix in the plan string
+    val s = df.queryExecution.executedPlan.toString()
+    assert(s.contains("*("), s)
+  }
+}

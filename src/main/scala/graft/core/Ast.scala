@@ -24,6 +24,20 @@ final case class TagAttributes(
 }
 
 object TagAttributes {
+  /** Lowercase a tag name for config lookup without allocating when it is
+    * already lowercase ASCII — the overwhelmingly common case in real
+    * markup. Exactly equivalent to `name.toLowerCase` as a lookup key.
+    */
+  def lookupKey(name: String): String = {
+    var i = 0
+    val len = name.length
+    while (i < len) {
+      val c = name.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || c > 127) return name.toLowerCase
+      i += 1
+    }
+    name
+  }
   /** The canonical BBCode config used throughout the reference test suite
     * (reference: ParserAsserter.groovy:41-44).
     */
@@ -96,9 +110,19 @@ final class TagNode(d: Doc, var parent: TagNode, b: Int) extends Node {
   def addChild(n: Node): Unit = children += n
 
   /** Lazy name slice `source[begin+1, nameEnd)`; null when the tag has no
-    * name (reference: TagNode.java:194-199).
+    * name (reference: TagNode.java:194-199). Cached per nameEnd value —
+    * `begin` never changes after construction and the name is re-read many
+    * times during closing-tag matching and config lookups.
     */
-  def name: String = if (nameEnd > begin + 1) doc.getString(begin + 1, nameEnd) else null
+  def name: String = {
+    if (_nameKey != nameEnd) {
+      _name = if (nameEnd > begin + 1) doc.getString(begin + 1, nameEnd) else null
+      _nameKey = nameEnd
+    }
+    _name
+  }
+  private[this] var _name: String = _
+  private[this] var _nameKey: Int = Int.MinValue
 
   def hasBody: Boolean = bodyEnd != -1 && bodyBegin != bodyEnd
 

@@ -18,24 +18,29 @@ import java.util.ArrayDeque
 abstract class FsmBase {
   type Attrs = Map[String, TagAttributes]
 
-  protected def lcName(tag: TagNode): String = {
+  /** Config entry for a tag (lookup by lowercased name) or null. Uses the
+    * allocation-free [[TagAttributes.lookupKey]] fast path — these lookups
+    * run several times per tag and dominated allocation profiles.
+    */
+  protected final def attrsFor(tag: TagNode, attributes: Attrs): TagAttributes = {
     val n = tag.name
-    if (n == null) null else n.toLowerCase
+    if (n == null) null
+    else attributes.getOrElse(TagAttributes.lookupKey(n), null)
   }
 
   protected def doesNotRequireClosingTag(tag: TagNode, attributes: Attrs): Boolean = {
-    val n = lcName(tag)
-    n != null && attributes.get(n).exists(_.doesNotRequireClosingTag)
+    val a = attrsFor(tag, attributes)
+    a != null && a.doesNotRequireClosingTag
   }
 
   protected def hasPreFormattedBody(tag: TagNode, attributes: Attrs): Boolean = {
-    val n = lcName(tag)
-    n != null && attributes.get(n).exists(_.hasPreFormattedBody)
+    val a = attrsFor(tag, attributes)
+    a != null && a.hasPreFormattedBody
   }
 
   protected def isStandalone(tag: TagNode, attributes: Attrs): Boolean = {
-    val n = lcName(tag)
-    n != null && attributes.get(n).exists(_.standalone)
+    val a = attrsFor(tag, attributes)
+    a != null && a.standalone
   }
 
   /** Null-safe case-insensitive equals; two nulls are NOT equal

@@ -38,7 +38,7 @@ object Render {
         if (consumer != null) consumer(textNode, text, text)
         build.append(text)
       case tagNode: TagNode =>
-        val tagName = tagNode.name.toLowerCase
+        val tagName = TagAttributes.lookupKey(tagNode.name)
         renderers.get(tagName) match {
           case Some(renderer) if predicate(tagNode) =>
             // Render children first into this builder, then lift the slice

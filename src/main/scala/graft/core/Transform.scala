@@ -28,6 +28,22 @@ object Transform {
     (node: TextNode, original: String) => {
       val build = new java.lang.StringBuilder(original.length + 16)
       val ca = original.toCharArray
+      // Newline suppression depends only on the node's parent — resolve it
+      // once per node, lazily on the first newline (0 = unknown, 1 = keep
+      // newline, 2 = transform).
+      var suppressState = 0
+      def suppressNewlines: Boolean = {
+        if (suppressState == 0) {
+          val parentName =
+            if (node.parent != null && node.parent.name != null)
+              TagAttributes.lookupKey(node.parent.name)
+            else null
+          val s = parentName != null && attributes != null &&
+            attributes.get(parentName).exists(!_.transformNewLines)
+          suppressState = if (s) 1 else 2
+        }
+        suppressState == 1
+      }
       var i = 0
       while (i < ca.length) {
         (ca(i): @annotation.switch) match {
@@ -44,12 +60,7 @@ object Transform {
             build.append("&quot;")
             if (offsets != null) offsets.add(node.begin + i, 5)
           case c @ ('\n' | '\r') =>
-            val parentName =
-              if (node.parent != null && node.parent.name != null) node.parent.name.toLowerCase
-              else null
-            val suppress = parentName != null && attributes != null &&
-              attributes.get(parentName).exists(!_.transformNewLines)
-            if (suppress) {
+            if (suppressNewlines) {
               build.append(c)
             } else {
               if (i + 1 < ca.length &&

@@ -61,13 +61,28 @@ object TranscriptGen {
       case _ => "tool"
     }
     Turn(
-      conv_id = f"conv$convIdx%08d",
+      conv_id = "conv" + pad(convIdx, 8),
       turn_idx = turnIdx.toInt,
       role = role,
       text = sb.toString,
-      tool = if (role == "tool") f"tool${(convIdx % 20)}%02d" else "",
+      tool = if (role == "tool") "tool" + pad(convIdx % 20, 2) else "",
       ts = new Timestamp(EpochBase + convIdx * 3600000L + turnIdx * 1000L)
     )
+  }
+
+  /** Zero-padded decimal without java.util.Formatter (which re-parses its
+    * format string with a regex on every call — hot-path poison).
+    */
+  private def pad(v: Long, width: Int): String = {
+    val digits = java.lang.Long.toString(v)
+    if (digits.length >= width) digits
+    else {
+      val out = new Array[Char](width)
+      var i = 0
+      while (i < width - digits.length) { out(i) = '0'; i += 1 }
+      digits.getChars(0, digits.length, out, width - digits.length)
+      new String(out)
+    }
   }
 
   /** Distributed generation of `n` turns across `partitions` input splits. */

@@ -181,6 +181,19 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    "x_extract_html" -> ((s, _) => {
+      // HTML-boilerplate-strip mode of the same pipeline, over generated
+      // turns re-expressed as HTML markup
+      import org.apache.spark.sql.Encoders
+      val turns = TranscriptGen.turns(s, 5000, seed = 42, partitions = 8)
+      val htmlTurns = turns.map(t => t.copy(
+        text = "<div class=\"m\">" + t.text.replace('[', '<').replace(']', '>') + "</div>"))(
+        Encoders.product[graft.pipeline.Turn])
+      ExtractJob.extract(htmlTurns, markup = ExtractJob.Html).toDF()
+        .select("conv_id", "turn_idx", "plain_text", "html", "n_tags", "parse_error")
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     "x_parse_error_rate" -> ((s, _) => {
       val turns = TranscriptGen.turns(s, 20000, seed = 42, partitions = 16)
       ExtractJob.extract(turns).toDF()

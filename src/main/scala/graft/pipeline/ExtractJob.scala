@@ -25,16 +25,34 @@ import org.apache.spark.util.LongAccumulator
   */
 object ExtractJob {
 
+  /** Input markup dialect of the transcript text column. */
+  sealed trait Markup
+  case object BBCode extends Markup
+  case object Html extends Markup
+
   /** Core per-turn transform — pure, reused by the pipeline, UDFs, and
     * tests as the single source of extraction semantics.
+    *
+    * BBCode mode: `plain_text` = tag strip, `html` = BBCode→HTML render
+    * with escape/`<br>` transform. HTML mode (boilerplate strip):
+    * `plain_text` = tag strip, `html` = strip with HTML re-escape (the
+    * "escapable text" form of the extracted content).
     */
-  def extractTurn(t: Turn, cfg: Map[String, TagAttributes]): TurnOut = {
+  def extractTurn(t: Turn, cfg: Map[String, TagAttributes],
+                  markup: Markup = BBCode): TurnOut = {
     try {
-      val doc = BBCodeParser.parse(t.text, cfg)
-      val plain = Transform.textTransform(doc)
       val offsets = new Offsets
-      val html = Render.transform(doc, BBCodeToHtml.renderers, strict = false,
-        _ => true, Transform.htmlEscape(offsets, cfg))
+      val doc = markup match {
+        case BBCode => BBCodeParser.parse(t.text, cfg)
+        case Html   => HtmlParser.parse(t.text, cfg)
+      }
+      val plain = Transform.textTransform(doc)
+      val html = markup match {
+        case BBCode => Render.transform(doc, BBCodeToHtml.renderers, strict = false,
+          _ => true, Transform.htmlEscape(offsets, cfg))
+        case Html => Transform.textTransform(doc, fn = Transform.htmlEscape(offsets,
+          TagAttributes.htmlDefaults ++ cfg))
+      }
       val packed = offsets.pairs.iterator
         .map { case (p, a) => (p.toLong << 32) | (a.toLong & 0xffffffffL) }.toArray
       TurnOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
@@ -62,7 +80,8 @@ object ExtractJob {
   /** The extraction stage: typed Dataset map over partitions. */
   def extract(turns: Dataset[Turn],
               cfg: Map[String, TagAttributes] = TagAttributes.bbcodeCanonical,
-              metrics: Option[Metrics] = None): Dataset[TurnOut] = {
+              metrics: Option[Metrics] = None,
+              markup: Markup = BBCode): Dataset[TurnOut] = {
     val spark = turns.sparkSession
     import spark.implicits._
     turns.mapPartitions { iter =>
@@ -70,7 +89,7 @@ object ExtractJob {
       var n = 0L
       var errs = 0L
       val out = iter.map { t =>
-        val r = extractTurn(t, cfg)
+        val r = extractTurn(t, cfg, markup)
         n += 1
         if (r.parse_error != null) errs += 1
         r

@@ -103,6 +103,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(actual.toSeq == expected.toSeq)
   }
 
+  test("HTML-mode extraction strips boilerplate per turn (matches pure core)") {
+    val turns = TranscriptGen.turns(spark, 500, seed = 42, partitions = 4)
+      .map(t => t.copy(text = s"""<div class="m"><b>${t.turn_idx}</b> body</div>"""))(
+        org.apache.spark.sql.Encoders.product[Turn])
+    val out = ExtractJob.extract(turns, markup = ExtractJob.Html).collect()
+    assert(out.length == 500)
+    out.foreach { o =>
+      assert(o.plain_text == s"${o.turn_idx} body", o.plain_text)
+      assert(o.parse_error == null)
+      assert(o.n_tags == 2) // div + b
+    }
+  }
+
   test("salted conversation assembly equals single-shuffle assembly") {
     val turns = ExtractJob.extract(TranscriptGen.turns(spark, 4000, seed = 42, partitions = 8)).toDF()
     def collectMap(df: org.apache.spark.sql.DataFrame) =

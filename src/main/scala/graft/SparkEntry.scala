@@ -146,6 +146,54 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "q_dedup_embedding" -> ((s, dir) => {
+      // embedding-cosine near-dup with planted perturbed copies: organic
+      // max cosine in this corpus is 0.51, planted copies are ~0.9999, so
+      // threshold 0.99 is ULP-safe for exact oracle comparison
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = e.union(e.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v")))
+      planted.as("a").join(planted.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("sim", SimOps.cosine(col("a.v"), col("b.v")))
+        .filter(col("sim") > 0.99)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_filter_dates" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1994-01-01") && col("l_shipdate") < lit("1995-01-01"))
+        .groupBy(month(col("l_shipdate")).cast("long").as("ship_month"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("ship_month")
+    }),
+
+    "q_having_custs" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_scalar_funcs" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          upper(substring(col("text"), 1, 10)).as("head_upper"),
+          (length(col("text")) % 7).cast("long").as("len_mod"),
+          concat(col("lang"), lit(":"), col("source")).as("tag"),
+          round(col("n_chars") / lit(3.0), 2).as("thirds"))
+        .orderBy("doc_id")
+    }),
+
     // ---- parse/transform FSM ops with constructed oracles ------------------
     "q_strip_constructed" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -359,6 +407,42 @@ object SparkEntry {
         |  FROM embeddings a, embeddings b
         |  WHERE a.vec_id < 25 AND b.vec_id <> a.vec_id) t
         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+        |           FROM embeddings),
+        |     p AS (SELECT * FROM e
+        |           UNION ALL
+        |           SELECT vec_id + 100000, list_prepend(v[1] + 0.01, v[2:])
+        |           FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM p a, p b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) > 0.99
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_filter_dates" ->
+      """SELECT cast(month(l_shipdate) AS bigint) AS ship_month, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_having_custs" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+        |GROUP BY 1 HAVING count(*) >= 15 ORDER BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT doc_id,
+        |  upper(substring(text, 1, 10)) AS head_upper,
+        |  cast(length(text) % 7 AS bigint) AS len_mod,
+        |  lang || ':' || source AS tag,
+        |  round(n_chars / 3.0, 2) AS thirds
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_strip_constructed" ->
       "SELECT doc_id, text || ' ' || text || 'tail' AS plain FROM documents ORDER BY doc_id",

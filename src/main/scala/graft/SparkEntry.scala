@@ -138,6 +138,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_docs_bpe_tokens" -> ((s, dir) => {
+      // BPE-ish pre-tokenization: letter runs | digit runs | single symbol
+      docs(s, dir).select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+            .cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_docs_rollhash" -> ((s, dir) => {
+      // polynomial rolling hash over code points, mod 1e9+7, seed 7
+      docs(s, dir).select(col("doc_id"),
+          expr("aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))), " +
+            "7L, (acc, x) -> (acc * 31 + x) % 1000000007)").as("rollhash"))
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search ------------------------------------------------
     "q_ann_top1" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -396,6 +412,19 @@ object SparkEntry {
         |  cast(len(list_intersect(a.toks, b.toks)) AS bigint) AS n_inter,
         |  cast(len(list_distinct(list_concat(a.toks, b.toks))) AS bigint) AS n_union
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 ORDER BY doc_id""".stripMargin,
+
+    "q_docs_bpe_tokens" ->
+      """SELECT doc_id,
+        |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bigint) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_docs_rollhash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(cast(7 AS bigint),
+        |      list_transform(range(1, length(text) + 1), i -> cast(unicode(text[i]) AS bigint))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rollhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_ann_top1" ->
       """SELECT query_id, neighbor_id FROM (

@@ -166,14 +166,19 @@ object SparkEntry {
       // embedding-cosine near-dup with planted perturbed copies: organic
       // max cosine in this corpus is 0.51, planted copies are ~0.9999, so
       // threshold 0.99 is ULP-safe for exact oracle comparison
+      // query side bounded (vec_id < 100) and broadcast — the corpus side
+      // streams once; an unbounded all-pairs cross join is exactly the plan
+      // that must NOT exist at scale (measured 387 s at sf0.1)
       val e = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val planted = e.union(e.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v")))
-      planted.as("a").join(planted.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("sim", SimOps.cosine(col("a.v"), col("b.v")))
+      val queries = broadcast(planted.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("id_a"), col("v").as("qv")))
+      queries.join(planted, col("id_a") < col("vec_id"))
+        .withColumn("sim", SimOps.cosine(col("qv"), col("v")))
         .filter(col("sim") > 0.99)
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .select(col("id_a"), col("vec_id").as("id_b"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -446,7 +451,7 @@ object SparkEntry {
         |           FROM e)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM p a, p b
-        |WHERE a.vec_id < b.vec_id
+        |WHERE a.vec_id < 100 AND a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.v, b.v) > 0.99
         |ORDER BY 1, 2""".stripMargin,
 

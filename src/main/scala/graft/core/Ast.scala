@@ -153,6 +153,112 @@ final class TagNode(d: Doc, var parent: TagNode, b: Int) extends Node {
     s"TagNode[$name]{body=${if (hasBody) doc.getString(bodyBegin, bodyEnd) else ""}}"
 }
 
+/** Sorted, deduplicated set of `(position, amount)` int pairs packed into a
+  * long array — the semantics of the reference's `TreeSet<Pair<Int,Int>>`
+  * (ordering by first then second, dedup) without per-insert tuple/node
+  * allocation. Sets here hold ~2 entries per tag, so sorted-array insertion
+  * beats a red-black tree by a wide margin (this showed up as a top-3 cost
+  * in pipeline profiles).
+  *
+  * Packing `pos << 32 | amount` preserves (pos, amount) ordering for
+  * amounts in [0, 2^31); parser offsets are always non-negative lengths.
+  * Negative amounts (possible through the public Offsets API) are stored
+  * order-correctly by flipping the amount sign bit.
+  */
+final class OffsetSet {
+  private var arr = new Array[Long](8)
+  private var n = 0
+
+  @inline private def pack(pos: Int, amount: Int): Long =
+    (pos.toLong << 32) | ((amount.toLong & 0xffffffffL) ^ 0x80000000L)
+  @inline private def unpackPos(v: Long): Int = (v >>> 32).toInt
+  @inline private def unpackAmount(v: Long): Int = ((v & 0xffffffffL) ^ 0x80000000L).toInt
+
+  def size: Int = n
+  def isEmpty: Boolean = n == 0
+
+  def add(pos: Int, amount: Int): Unit = {
+    val v = pack(pos, amount)
+    var i = java.util.Arrays.binarySearch(arr, 0, n, v)
+    if (i < 0) {
+      i = -i - 1
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+      System.arraycopy(arr, i, arr, i + 1, n - i)
+      arr(i) = v
+      n += 1
+    } // duplicates collapse, like the TreeSet
+  }
+
+  /** Remove every entry with `begin <= pos < end`. */
+  def removeRange(begin: Int, end: Int): Unit = {
+    var r = 0
+    var w = 0
+    while (r < n) {
+      val p = unpackPos(arr(r))
+      if (!(p >= begin && p < end)) { arr(w) = arr(r); w += 1 }
+      r += 1
+    }
+    n = w
+  }
+
+  def foreachPair(f: (Int, Int) => Unit): Unit = {
+    var i = 0
+    while (i < n) { f(unpackPos(arr(i)), unpackAmount(arr(i))); i += 1 }
+  }
+
+  def toList: List[(Int, Int)] = {
+    var out = List.empty[(Int, Int)]
+    var i = n - 1
+    while (i >= 0) { out = (unpackPos(arr(i)), unpackAmount(arr(i))) :: out; i -= 1 }
+    out
+  }
+
+  /** `(pos << 32 | amount)` packed pairs, sorted — zero-boxing export for
+    * the pipeline's offsets column.
+    */
+  def packedArray: Array[Long] = {
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (unpackPos(arr(i)).toLong << 32) | (unpackAmount(arr(i)).toLong & 0xffffffffL)
+      i += 1
+    }
+    out
+  }
+
+  def sumAmounts: Int = {
+    var s = 0
+    var i = 0
+    while (i < n) { s += unpackAmount(arr(i)); i += 1 }
+    s
+  }
+
+  /** Sum of amounts at positions <= originalIndex (Offsets semantics). */
+  def sumAmountsUpTo(originalIndex: Int): Int = {
+    var s = 0
+    var i = 0
+    while (i < n) {
+      if (originalIndex >= unpackPos(arr(i))) s += unpackAmount(arr(i))
+      i += 1
+    }
+    s
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case other: OffsetSet =>
+      n == other.n && java.util.Arrays.equals(
+        java.util.Arrays.copyOf(arr, n), java.util.Arrays.copyOf(other.arr, other.n))
+    case _ => false
+  }
+  override def hashCode: Int = {
+    var h = 1
+    var i = 0
+    while (i < n) { h = 31 * h + java.lang.Long.hashCode(arr(i)); i += 1 }
+    h
+  }
+  override def toString: String = toList.mkString("[", ", ", "]")
+}
+
 /** Root of the document model. Owns the source `char[]`, the top-level
   * children, and the two sorted offset sets that make the source
   * reconstructable (reference: domain/Document.java:31-131).
@@ -161,9 +267,9 @@ final class Doc(val source: Array[Char]) {
   /** `(tagBegin, length)` spans of opening/closing tags; source minus these
     * spans equals the concatenated text (Document.java:50-60).
     */
-  val offsets: mutable.TreeSet[(Int, Int)] = mutable.TreeSet.empty
+  val offsets: OffsetSet = new OffsetSet
   /** `(attrValueBegin, length)` of each attribute value (Document.java:32-42). */
-  val attributeOffsets: mutable.TreeSet[(Int, Int)] = mutable.TreeSet.empty
+  val attributeOffsets: OffsetSet = new OffsetSet
   val children: mutable.ArrayBuffer[Node] = mutable.ArrayBuffer.empty
 
   def addChild(n: Node): Unit = children += n
@@ -173,6 +279,25 @@ final class Doc(val source: Array[Char]) {
   def tagNodes: List[TagNode] =
     children.iterator.collect { case t: TagNode => t.childTagNodes }.flatten.toList
 
+  /** Tag count without materializing the pre-order list (hot in pipeline
+    * per-turn stats).
+    */
+  def tagCount: Int = {
+    def count(ns: scala.collection.mutable.ArrayBuffer[Node]): Int = {
+      var c = 0
+      var i = 0
+      while (i < ns.length) {
+        ns(i) match {
+          case t: TagNode => c += 1 + count(t.children)
+          case _ =>
+        }
+        i += 1
+      }
+      c
+    }
+    count(children)
+  }
+
   override def equals(o: Any): Boolean = o match {
     case d: Doc =>
       java.util.Arrays.equals(source, d.source) && children == d.children &&
@@ -181,8 +306,8 @@ final class Doc(val source: Array[Char]) {
   }
   override def hashCode: Int = java.util.Arrays.hashCode(source)
   override def toString: String =
-    s"Document{children=[${children.mkString(", ")}], offsets=[${offsets.map(o => s"${o._1}:${o._2}").mkString(", ")}]" +
-      s", attributeOffsets=[${attributeOffsets.map(o => s"${o._1}:${o._2}").mkString(", ")}]}"
+    s"Document{children=[${children.mkString(", ")}], offsets=[${offsets.toList.map(o => s"${o._1}:${o._2}").mkString(", ")}]" +
+      s", attributeOffsets=[${attributeOffsets.toList.map(o => s"${o._1}:${o._2}").mkString(", ")}]}"
 }
 
 /** Output-shift tracker: a sorted set of `(position, amount)` pairs.
@@ -192,26 +317,20 @@ final class Doc(val source: Array[Char]) {
   * FreemarkerTransformerTest.java:62-77).
   */
 final class Offsets {
-  val pairs: mutable.TreeSet[(Int, Int)] = mutable.TreeSet.empty
+  val set: OffsetSet = new OffsetSet
 
-  def add(position: Int, amount: Int): Unit = pairs += ((position, amount))
+  def pairs: List[(Int, Int)] = set.toList
 
-  def computeOffsetFromIndex(originalIndex: Int): Int = {
-    var total = 0
-    val it = pairs.iterator
-    while (it.hasNext) {
-      val p = it.next()
-      if (originalIndex >= p._1) total += p._2
-    }
-    total
-  }
+  def add(position: Int, amount: Int): Unit = set.add(position, amount)
 
-  def total: Int = pairs.iterator.map(_._2).sum
+  def computeOffsetFromIndex(originalIndex: Int): Int = set.sumAmountsUpTo(originalIndex)
+
+  def total: Int = set.sumAmounts
 
   override def equals(o: Any): Boolean = o match {
-    case other: Offsets => pairs == other.pairs
+    case other: Offsets => set == other.set
     case _ => false
   }
-  override def hashCode: Int = pairs.hashCode
-  override def toString: String = pairs.mkString("[", ", ", "]")
+  override def hashCode: Int = set.hashCode
+  override def toString: String = set.toString
 }

@@ -224,7 +224,7 @@ object BBCodeParser extends FsmBase {
           if (parsingEnabled) {
             if (state == OpeningTagEnd) {
               nodes.peek().attributes.put(attributeName, "") // no value → empty string
-              doc.attributeOffsets += ((index, 0))
+              doc.attributeOffsets.add(index, 0)
             } else if (state == ComplexUnQuotedValue) attributeValueBegin = index
             else if (state == ComplexSingleQuotedValue || state == ComplexDoubleQuotedValue)
               attributeValueBegin = index + 1
@@ -235,7 +235,7 @@ object BBCodeParser extends FsmBase {
           state = next(state, source(index))
           if (parsingEnabled && state != previous) {
             nodes.peek().attributes.put(attributeName, doc.getString(attributeValueBegin, index))
-            doc.attributeOffsets += ((attributeValueBegin, index - attributeValueBegin))
+            doc.attributeOffsets.add(attributeValueBegin, index - attributeValueBegin)
           }
           index += 1
 
@@ -267,7 +267,7 @@ object BBCodeParser extends FsmBase {
     val raw = doc.getString(attributeValueBegin, index)
     val trimmed = raw.trim
     // Keep the trimmed value; account for the shortened value in the offset
-    doc.attributeOffsets += ((attributeValueBegin, index - attributeValueBegin - (raw.length - trimmed.length)))
+    doc.attributeOffsets.add(attributeValueBegin, index - attributeValueBegin - (raw.length - trimmed.length))
     current.attribute = trimmed
   }
 }

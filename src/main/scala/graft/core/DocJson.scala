@@ -28,8 +28,8 @@ object DocJson {
 
   private def q(s: String): String = if (s == null) "null" else "\"" + escape(s) + "\""
 
-  private def pairs(set: Iterable[(Int, Int)]): String =
-    set.iterator.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+  private def pairs(set: OffsetSet): String =
+    set.toList.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
 
   def node(n: Node): String = n match {
     case t: TextNode =>
@@ -49,5 +49,5 @@ object DocJson {
       s""""attributeOffsets":${pairs(d.attributeOffsets)}}"""
   }
 
-  def offsets(o: Offsets): String = pairs(o.pairs)
+  def offsets(o: Offsets): String = pairs(o.set)
 }

@@ -76,9 +76,9 @@ abstract class FsmBase {
 
     node match {
       case tag: TagNode =>
-        doc.offsets += ((tag.begin, tag.bodyBegin - tag.begin))
+        doc.offsets.add(tag.begin, tag.bodyBegin - tag.begin)
         if (tag.hasClosingTag) {
-          doc.offsets += ((tag.bodyEnd, tag.end - tag.bodyEnd))
+          doc.offsets.add(tag.bodyEnd, tag.end - tag.bodyEnd)
         }
       case _ =>
     }
@@ -186,9 +186,8 @@ abstract class FsmBase {
   }
 
   /** Remove offsets with `begin <= first < end` (AbstractParser.java:253-261). */
-  protected def handleRemovingOffsets(offsets: scala.collection.mutable.TreeSet[(Int, Int)],
-                                      begin: Int, end: Int): Unit =
-    offsets.filterInPlace(p => !(p._1 >= begin && p._1 < end))
+  protected def handleRemovingOffsets(offsets: OffsetSet, begin: Int, end: Int): Unit =
+    offsets.removeRange(begin, end)
 
   /** Demote the top-of-stack tag to a TextNode and purge its offsets
     * (AbstractParser.java:272-291). Keeps an already-set end (the

@@ -223,7 +223,7 @@ object HtmlParser extends FsmBase {
               // Boolean attribute (reference: HTMLParser.java:193-198)
               attributeName = doc.getString(attributeNameBegin, index)
               nodes.peek().attributes.put(attributeName, "true")
-              doc.attributeOffsets += ((index, 0))
+              doc.attributeOffsets.add(index, 0)
             }
           }
           index += 1
@@ -233,7 +233,7 @@ object HtmlParser extends FsmBase {
           if (parsingEnabled) {
             if (state == OpeningTagEnd) {
               nodes.peek().attributes.put(attributeName, "") // no value → empty string
-              doc.attributeOffsets += ((index, 0))
+              doc.attributeOffsets.add(index, 0)
             } else if (state == UnquotedAttributeValue) attributeValueBegin = index
             else if (state == SingleQuotedAttributeValue || state == DoubleQuotedAttributeValue)
               attributeValueBegin = index + 1
@@ -245,7 +245,7 @@ object HtmlParser extends FsmBase {
           state = next(state, source(index))
           if (parsingEnabled && state != previous) {
             nodes.peek().attributes.put(attributeName, doc.getString(attributeValueBegin, index))
-            doc.attributeOffsets += ((attributeValueBegin, index - attributeValueBegin))
+            doc.attributeOffsets.add(attributeValueBegin, index - attributeValueBegin)
           }
           index += 1
 

@@ -68,6 +68,36 @@ object Render {
     doc.children.foreach(recurse)
     build.toString
   }
+
+  /** Specialized hot path for the pipeline: render with HTML-escape fused
+    * into the output builder (no per-text-node intermediate strings),
+    * predicate always true, no consumer, non-strict. Output is identical to
+    * `transform(doc, renderers, false, _ => true, Transform.htmlEscape(offsets, attributes))`
+    * — asserted in tests.
+    */
+  def renderEscaped(doc: Doc, renderers: Map[String, TagRenderer],
+                    offsets: Offsets, attributes: Map[String, TagAttributes]): String = {
+    val build = new java.lang.StringBuilder(doc.source.length * 2)
+
+    def recurse(node: Node): Unit = node match {
+      case textNode: TextNode =>
+        Transform.escapeAppend(build, textNode, textNode.body, offsets, attributes)
+      case tagNode: TagNode =>
+        renderers.get(TagAttributes.lookupKey(tagNode.name)) match {
+          case Some(renderer) =>
+            val mark = build.length
+            tagNode.children.foreach(recurse)
+            val body = build.substring(mark)
+            build.setLength(mark)
+            build.append(renderer(tagNode, body))
+          case None =>
+            build.append(tagNode.rawString)
+        }
+    }
+
+    doc.children.foreach(recurse)
+    build.toString
+  }
 }
 
 /** The built-in BBCode→HTML registry: 27 tag registrations over 25 distinct

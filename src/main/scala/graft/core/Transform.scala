@@ -27,58 +27,68 @@ object Transform {
   def htmlEscape(offsets: Offsets, attributes: Map[String, TagAttributes]): TransformFunction =
     (node: TextNode, original: String) => {
       val build = new java.lang.StringBuilder(original.length + 16)
-      val ca = original.toCharArray
-      // Newline suppression depends only on the node's parent — resolve it
-      // once per node, lazily on the first newline (0 = unknown, 1 = keep
-      // newline, 2 = transform).
-      var suppressState = 0
-      def suppressNewlines: Boolean = {
-        if (suppressState == 0) {
-          val parentName =
-            if (node.parent != null && node.parent.name != null)
-              TagAttributes.lookupKey(node.parent.name)
-            else null
-          val s = parentName != null && attributes != null &&
-            attributes.get(parentName).exists(!_.transformNewLines)
-          suppressState = if (s) 1 else 2
-        }
-        suppressState == 1
-      }
-      var i = 0
-      while (i < ca.length) {
-        (ca(i): @annotation.switch) match {
-          case '&' =>
-            build.append("&amp;")
-            if (offsets != null) offsets.add(node.begin + i, 4)
-          case '<' =>
-            build.append("&lt;")
-            if (offsets != null) offsets.add(node.begin + i, 3)
-          case '>' =>
-            build.append("&gt;")
-            if (offsets != null) offsets.add(node.begin + i, 3)
-          case '"' =>
-            build.append("&quot;")
-            if (offsets != null) offsets.add(node.begin + i, 5)
-          case c @ ('\n' | '\r') =>
-            if (suppressNewlines) {
-              build.append(c)
-            } else {
-              if (i + 1 < ca.length &&
-                  ((c == '\n' && ca(i + 1) == '\r') || (c == '\r' && ca(i + 1) == '\n'))) {
-                if (offsets != null) offsets.add(node.begin + i, 2)
-                i += 1
-              } else if (offsets != null) {
-                offsets.add(node.begin + i, 3)
-              }
-              build.append("<br>")
-            }
-          case c =>
-            build.append(c)
-        }
-        i += 1
-      }
+      escapeAppend(build, node, original, offsets, attributes)
       build.toString
     }
+
+  /** Escape `original` directly into `build` — the allocation-free form of
+    * [[htmlEscape]] used by the hot pipeline path (identical output; no
+    * intermediate char[]/String per text node).
+    */
+  def escapeAppend(build: java.lang.StringBuilder, node: TextNode, original: String,
+                   offsets: Offsets, attributes: Map[String, TagAttributes]): Unit = {
+    val len = original.length
+    // Newline suppression depends only on the node's parent — resolve it
+    // once per node, lazily on the first newline (0 = unknown, 1 = keep
+    // newline, 2 = transform).
+    var suppressState = 0
+    def suppressNewlines: Boolean = {
+      if (suppressState == 0) {
+        val parentName =
+          if (node.parent != null && node.parent.name != null)
+            TagAttributes.lookupKey(node.parent.name)
+          else null
+        val s = parentName != null && attributes != null &&
+          attributes.get(parentName).exists(!_.transformNewLines)
+        suppressState = if (s) 1 else 2
+      }
+      suppressState == 1
+    }
+    var i = 0
+    while (i < len) {
+      (original.charAt(i): @annotation.switch) match {
+        case '&' =>
+          build.append("&amp;")
+          if (offsets != null) offsets.add(node.begin + i, 4)
+        case '<' =>
+          build.append("&lt;")
+          if (offsets != null) offsets.add(node.begin + i, 3)
+        case '>' =>
+          build.append("&gt;")
+          if (offsets != null) offsets.add(node.begin + i, 3)
+        case '"' =>
+          build.append("&quot;")
+          if (offsets != null) offsets.add(node.begin + i, 5)
+        case c @ ('\n' | '\r') =>
+          if (suppressNewlines) {
+            build.append(c)
+          } else {
+            if (i + 1 < len &&
+                ((c == '\n' && original.charAt(i + 1) == '\r') ||
+                 (c == '\r' && original.charAt(i + 1) == '\n'))) {
+              if (offsets != null) offsets.add(node.begin + i, 2)
+              i += 1
+            } else if (offsets != null) {
+              offsets.add(node.begin + i, 3)
+            }
+            build.append("<br>")
+          }
+        case c =>
+          build.append(c)
+      }
+      i += 1
+    }
+  }
 
   /** Escape without offsets/attributes (plain variant). */
   val htmlEscapePlain: TransformFunction = htmlEscape(null, null)

@@ -26,7 +26,7 @@ object NativeImpl {
     UTF8String.fromString(Transform.textTransform(HtmlParser.parse(s.toString, Map.empty)))
 
   def tagCount(s: UTF8String): Int =
-    BBCodeParser.parse(s.toString, cfg).tagNodes.length
+    BBCodeParser.parse(s.toString, cfg).tagCount
 }
 
 /** Native Catalyst expressions for the core transforms. Compared to a Scala

@@ -48,15 +48,13 @@ object ExtractJob {
       }
       val plain = Transform.textTransform(doc)
       val html = markup match {
-        case BBCode => Render.transform(doc, BBCodeToHtml.renderers, strict = false,
-          _ => true, Transform.htmlEscape(offsets, cfg))
+        case BBCode => Render.renderEscaped(doc, BBCodeToHtml.renderers, offsets, cfg)
         case Html => Transform.textTransform(doc, fn = Transform.htmlEscape(offsets,
           TagAttributes.htmlDefaults ++ cfg))
       }
-      val packed = offsets.pairs.iterator
-        .map { case (p, a) => (p.toLong << 32) | (a.toLong & 0xffffffffL) }.toArray
+      val packed = offsets.set.packedArray
       TurnOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
-        plain, html, packed, doc.tagNodes.length, t.text.length, null)
+        plain, html, packed, doc.tagCount, t.text.length, null)
     } catch {
       case e: Throwable =>
         TurnOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,

@@ -49,11 +49,22 @@ object TranscriptGen {
       if (r < skewLen) (block * 100, r)
       else (block * 100 + 1 + (r - skewLen) / BaseLen, (r - skewLen) % BaseLen)
 
-    val rnd = new java.util.Random(seed * 1000003L + g)
-    val nFrag = 1 + rnd.nextInt(8)
+    // splitmix64 stream keyed by (seed, g): deterministic, allocation-free
+    // (java.util.Random costs an object + seed scramble per row)
+    var rndState = seed * 1000003L + g
+    def nextLong(): Long = {
+      rndState += 0x9e3779b97f4a7c15L
+      var z = rndState
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def nextInt(bound: Int): Int = (Math.floorMod(nextLong(), bound.toLong)).toInt
+
+    val nFrag = 1 + nextInt(8)
     val sb = new java.lang.StringBuilder(nFrag * 48)
     var i = 0
-    while (i < nFrag) { sb.append(fragments(rnd.nextInt(fragments.length))); i += 1 }
+    while (i < nFrag) { sb.append(fragments(nextInt(fragments.length))); i += 1 }
 
     val role = (turnIdx % 3) match {
       case 0 => "user"

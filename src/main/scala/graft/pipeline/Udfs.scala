@@ -36,7 +36,7 @@ object Udfs {
   }
 
   val bbcodeTagCount: UserDefinedFunction = udf { (s: String) =>
-    if (s == null) 0 else BBCodeParser.parse(s, cfg).tagNodes.length
+    if (s == null) 0 else BBCodeParser.parse(s, cfg).tagCount
   }
 
   /** Count of tag/attribute offsets — the source-reconstruction metadata. */

@@ -284,6 +284,27 @@ class RenderSpec extends AnyFunSuite {
     }
   }
 
+  test("renderEscaped (fused hot path) equals transform + htmlEscape") {
+    val cfg = Map(
+      "*" -> TagAttributes(true, false, false, true),
+      "code" -> TagAttributes(false, true, false, true),
+      "noparse" -> TagAttributes(false, true, false, true))
+    val inputs = graft.pipeline.TranscriptGen.fragments ++ Seq(
+      "", "plain", "[b]x[/b]\r\ny[i]z", "a & b < c \"d\"\n", "[code]k\nl[/code]",
+      graft.pipeline.TranscriptGen.fragments.mkString)
+    for (s <- inputs) {
+      val d1 = BBCodeParser.parse(s, cfg)
+      val o1 = new Offsets
+      val expected = Render.transform(d1, BBCodeToHtml.renderers, strict = false,
+        _ => true, Transform.htmlEscape(o1, cfg))
+      val d2 = BBCodeParser.parse(s, cfg)
+      val o2 = new Offsets
+      val actual = Render.renderEscaped(d2, BBCodeToHtml.renderers, o2, cfg)
+      assert(actual == expected, s"html mismatch for: $s")
+      assert(o1.pairs == o2.pairs, s"offsets mismatch for: $s")
+    }
+  }
+
   /** File goldens, compared whitespace-insensitively like
     * BBCodeToHTMLTransformerSpec.groovy:112.
     */

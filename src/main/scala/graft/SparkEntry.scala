@@ -108,6 +108,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_docs_quality_score" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     "q_docs_langid" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
           TextOps.langId(col("text")).as("lang_guess"),
@@ -310,12 +315,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "x_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimOps.ivfTopK(e.filter(col("vec_id") < 25), e, k = 3, nCells = 16, nprobe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    "x_langid_ngram" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), TextOps.langIdNgram(col("text")).as("lang_ngram"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal plumbing (stubbed decode; rows-only) ------------------
     "x_media_features" -> ((s, dir) => {
       val media = MediaOps.synthesize(docs(s, dir))
       MediaOps.extractFeatures(media).toDF()
         .select(col("media_id"), col("doc_id"), col("kind"), col("n_bytes"),
           col("frames"), size(col("features")).as("n_dims"))
+        .orderBy("media_id")
+    }),
+
+    "x_media_resize" -> ((s, dir) => {
+      val media = MediaOps.synthesize(docs(s, dir))
+      MediaOps.resizeImages(media, 64, 64).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          length(col("payload")).as("n_bytes"))
         .orderBy("media_id")
     })
   )
@@ -374,6 +399,24 @@ object SparkEntry {
         |    ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
         |      t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) END AS bigint) AS n_stopwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_docs_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id,
+        |    cast(len(toks) AS double) AS n_tok,
+        |    cast(len(list_distinct(toks)) AS double) AS n_dis,
+        |    cast(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS double) AS n_stop
+        |  FROM t)
+        |SELECT doc_id,
+        |  round((least(n_tok / cast(32.0 AS double), cast(1.0 AS double)) +
+        |         least(n_stop * cast(8.0 AS double) / greatest(n_tok, cast(1.0 AS double)), cast(1.0 AS double)) +
+        |         least(n_dis / greatest(n_tok, cast(1.0 AS double)) * cast(2.0 AS double), cast(1.0 AS double))) / cast(3.0 AS double), 4) AS quality
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q_docs_langid" ->
       """WITH c AS (

@@ -111,6 +111,36 @@ object MediaOps {
     }
   }
 
+  /** Resize stage for image payloads — ======== STUB decode/re-encode:
+    * a real implementation decodes, scales, re-encodes; this stand-in
+    * deterministically downsamples the payload bytes in proportion to the
+    * target area so payload size tracks the resize like a real codec's
+    * would. The metadata contract (width/height updated, payload replaced)
+    * and the batched per-partition shape are the real plumbing.
+    */
+  def resizeImages(media: Dataset[MediaFile], targetW: Int, targetH: Int): Dataset[MediaFile] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        if (m.kind != "image" || m.width <= 0 || m.height <= 0) m
+        else {
+          val scale = math.min(1.0,
+            (targetW.toLong * targetH).toDouble / (m.width.toLong * m.height))
+          val outLen = math.max(1, (m.payload.length * scale).toInt)
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) {
+            // nearest-neighbor byte sampling (stands in for pixel resampling)
+            out(i) = m.payload((i.toLong * m.payload.length / outLen).toInt)
+            i += 1
+          }
+          m.copy(width = targetW, height = targetH, payload = out)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: split the payload into `frames`
     * equal chunks (stub for real frame extraction), emitting one row per
     * sampled frame — the explode-shaped stage a video pipeline needs.

@@ -70,6 +70,56 @@ object SimOps {
     sigUdf(vec)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path: a small set of coarse centroids partitions the corpus into
+    * cells; a query scans only its `nprobe` nearest cells.
+    *
+    * Centroids are chosen deterministically (every corpus/k-th vector by
+    * id order — a k-means iteration would drop in here); assignment is a
+    * broadcast argmax over centroids, so building the index is one
+    * map-side pass and the search shuffles nothing but the (cell, query)
+    * routing table.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // deterministic coarse centroids: rank rows by id, take every (n/nCells)-th
+    val ranked = c.withColumn("rk",
+      row_number().over(Window.orderBy(col("neighbor_id"))) - 1)
+    val total = ranked.count()
+    val stride = math.max(1L, total / nCells)
+    val centroids = broadcast(ranked.filter(col("rk") % stride === 0)
+      .limit(nCells)
+      .select((col("rk") / stride).cast("int").as("cell"), col("cv").as("centroid")))
+
+    // assign each corpus vector to its nearest centroid (broadcast argmax)
+    val assigned = c.join(centroids)
+      .withColumn("csim", cosine(col("cv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("neighbor_id").orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crank") === 1)
+      .select(col("cell"), col("neighbor_id"), col("cv"))
+
+    // route each query to its nprobe nearest cells
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val routed = broadcast(q.join(centroids)
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell")))
+
+    // scan only the probed cells
+    routed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** LSH-bucketed approximate top-k: join queries to corpus rows sharing
     * the same `bits`-bit hyperplane signature, rank by exact cosine within
     * the bucket. Recall is tunable via `bits` (fewer bits → bigger buckets

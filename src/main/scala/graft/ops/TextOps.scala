@@ -59,6 +59,51 @@ object TextOps {
     }
   }
 
+  /** Character-trigram language-ID: tiny per-language trigram profiles of
+    * high-frequency function-word trigrams (space-padded); the language
+    * with the most profile hits over the document's trigram stream wins,
+    * ties/zero → "und". Complements the token-level [[langId]] — the
+    * n-gram variant also works on unsegmented/odd-whitespace text.
+    */
+  private val trigramProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing",
+      "ng ", " to", "to ", " is", "is ", "ion", " it", "it ", "ent", " fo", "for"),
+    "de" -> Set(" de", "der", "er ", "ie ", " un", "und", " di", "die", "sch",
+      "ein", " ei", "ich", "ch ", "en ", "cht", " ni", "nic", "das", " da", "st "),
+    "fr" -> Set(" le", "le ", " de", "de ", "es ", " la", "la ", "ent", " et",
+      "et ", "que", " qu", "ue ", "ous", " po", "pou", "our", "ait", "ion", " un"),
+    "es" -> Set(" el", "el ", " de", "de ", "la ", " la", "os ", " qu", "que",
+      "ue ", " en", "en ", "ión", " co", "con", "ara", " pa", "par", "ado", "los")
+  )
+
+  /** One-pass trigram scorer (typed UDF — a per-language higher-order
+    * expression stack would be 4×O(n) and fall out of codegen).
+    */
+  val langIdNgramUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) "und"
+      else {
+        val s = " " + text.toLowerCase.replaceAll("\\s+", " ") + " "
+        val langs = Array("en", "de", "fr", "es")
+        val counts = new Array[Int](4)
+        var i = 0
+        while (i + 3 <= s.length) {
+          val tri = s.substring(i, i + 3)
+          var l = 0
+          while (l < 4) {
+            if (trigramProfiles(langs(l)).contains(tri)) counts(l) += 1
+            l += 1
+          }
+          i += 1
+        }
+        val best = counts.max
+        if (best == 0) "und"
+        else langs(counts.indexOf(best)) // first-wins tie-break: en,de,fr,es
+      }
+    }
+
+  def langIdNgram(c: Column): Column = langIdNgramUdf(c)
+
   /** Quality heuristics as exact integer signals. */
   def qualitySignals(c: Column): Seq[(String, Column)] = Seq(
     "n_chars" -> length(c),

@@ -125,6 +125,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.nonEmpty)
   }
 
+  test("IVF top-k finds same-cluster neighbors with bounded cell scans") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 160).map { i =>
+      val c = i % 8
+      val center = Array.tabulate(8)(d => math.cos(c * 8 + d).toFloat * 2f)
+      (i.toLong, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq)
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val res = SimOps.ivfTopK(df.filter(col("vec_id") < 8), df, k = 3, nCells = 8, nprobe = 3)
+      .collect()
+    assert(res.length == 8 * 3)
+    // top-1 neighbor must be from the query's own cluster
+    res.filter(_.getInt(2) == 1).foreach { r =>
+      assert(r.getLong(0) % 8 == r.getLong(1) % 8,
+        s"query ${r.getLong(0)} top-1 from wrong cluster: ${r.getLong(1)}")
+    }
+  }
+
+  test("image resize stub: metadata updated, payload scaled, deterministic") {
+    val docs = spark.createDataFrame(
+      Seq((0L, "x" * 300), (3L, "y" * 90), (1L, "z" * 50))).toDF("doc_id", "text")
+    val media = MediaOps.synthesize(docs) // doc_id 0,3 -> image
+    val resized = MediaOps.resizeImages(media, 32, 32).collect().sortBy(_.media_id)
+    val orig = media.collect().sortBy(_.media_id)
+    resized.zip(orig).foreach { case (r, o) =>
+      if (o.kind == "image") {
+        assert(r.width == 32 && r.height == 32)
+        assert(r.payload.length <= o.payload.length && r.payload.length > 0)
+      } else {
+        assert(r.payload.sameElements(o.payload))
+      }
+    }
+    val again = MediaOps.resizeImages(media, 32, 32).collect().sortBy(_.media_id)
+    assert(resized.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+  }
+
+  test("langIdNgram separates languages incl. unsegmented-ish text") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the thing and the other thing is going to be for the win"),
+      (2L, "der hund und die katze sind nicht schlecht und das ist einfach"),
+      (3L, "le chat et la chose que nous pouvons faire pour une ion"),
+      (4L, "qqqq wwww rrrr"))).toDF("id", "text")
+    val r = df.select(col("id"), TextOps.langIdNgram(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1L) == "en"); assert(r(2L) == "de"); assert(r(3L) == "fr"); assert(r(4L) == "und")
+  }
+
   test("langId separates languages on running text") {
     val df = spark.createDataFrame(Seq(
       (1L, "the cat sat of the mat and it is a good day for all"),

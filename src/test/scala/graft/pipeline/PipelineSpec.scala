@@ -8,6 +8,17 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Inverse of TranscriptGen's (global id → conv, turn) mapping, for tests. */
+object TranscriptGenTestHelper {
+  def findGlobalId(convId: String, turnIdx: Int): Long = {
+    val convIdx = convId.stripPrefix("conv").toLong
+    val block = convIdx / 100
+    val base = block * TranscriptGen.BlockTurns
+    if (convIdx % 100 == 0) base + turnIdx
+    else base + 100L * TranscriptGen.BaseLen + (convIdx % 100 - 1) * TranscriptGen.BaseLen + turnIdx
+  }
+}
+
 /** Spark-level pipeline verification: the distributed
   * scan→shuffle→mapPartitions→write path must reproduce the pure-core
   * per-turn results exactly, under any partitioning, with working
@@ -101,6 +112,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("conv_id", "turn_idx", "plain_text").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2))
     assert(actual.toSeq == expected.toSeq)
+  }
+
+  test("offsets column maps input positions to output shifts exactly") {
+    import graft.core._
+    val out = ExtractJob.extract(TranscriptGen.turns(spark, 300, seed = 42, partitions = 4))
+      .collect()
+    var checkedShifted = 0
+    out.foreach { o =>
+      // recompute the escape offsets with the pure core and compare the packed column
+      val t = TranscriptGen.turnAt(TranscriptGenTestHelper.findGlobalId(o.conv_id, o.turn_idx), 42)
+      val doc = BBCodeParser.parse(t.text, TagAttributes.bbcodeCanonical)
+      val offs = new Offsets
+      Render.renderEscaped(doc, BBCodeToHtml.renderers, offs, TagAttributes.bbcodeCanonical)
+      assert(o.offsets.toSeq == offs.set.packedArray.toSeq, s"${o.conv_id}/${o.turn_idx}")
+      if (o.offsets.nonEmpty) checkedShifted += 1
+      // every packed entry: pos within input, amount in the escape-shift set
+      o.offsets.foreach { p =>
+        val pos = (p >>> 32).toInt
+        val amount = (p & 0xffffffffL).toInt
+        assert(pos >= 0 && pos < t.text.length)
+        assert(Set(2, 3, 4, 5).contains(amount), s"unexpected shift amount $amount")
+      }
+    }
+    assert(checkedShifted > 50, "expected many turns with escape shifts")
   }
 
   test("HTML-mode extraction strips boilerplate per turn (matches pure core)") {

@@ -84,14 +84,21 @@ object SimOps {
               nCells: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // deterministic coarse centroids: rank rows by id, take every (n/nCells)-th
-    val ranked = c.withColumn("rk",
-      row_number().over(Window.orderBy(col("neighbor_id"))) - 1)
-    val total = ranked.count()
+    // Deterministic coarse centroids WITHOUT a global sort/window (a
+    // single-reducer global row_number would not survive a large corpus):
+    // hash-select ~nCells rows distributed, cap at nCells, number them on
+    // the tiny collected side.
+    val total = c.count()
     val stride = math.max(1L, total / nCells)
-    val centroids = broadcast(ranked.filter(col("rk") % stride === 0)
-      .limit(nCells)
-      .select((col("rk") / stride).cast("int").as("cell"), col("cv").as("centroid")))
+    val seeds = c.filter(pmod(xxhash64(col("neighbor_id")), lit(stride)) === 0)
+      .limit(nCells * 2).collect().take(nCells)
+    require(seeds.nonEmpty, "no centroid seeds selected")
+    val spark = corpus.sparkSession
+    val centroidRows = seeds.zipWithIndex.map { case (r, i) =>
+      (i, r.getAs[scala.collection.Seq[Float]]("cv"))
+    }.toSeq
+    val centroids = broadcast(spark.createDataFrame(centroidRows)
+      .toDF("cell", "centroid"))
 
     // assign each corpus vector to its nearest centroid (broadcast argmax)
     val assigned = c.join(centroids)

@@ -176,6 +176,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SparkEntry.entry (driver smoke contract) returns rows") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.count() == 2000)
+    assert(df.columns.toSeq == Seq("conv_id", "turn_idx", "role", "plain_text", "html", "n_tags"))
+  }
+
   test("generator is deterministic and skewed") {
     val a = TranscriptGen.turns(spark, 1000, seed = 42, partitions = 4).collect()
     val b = TranscriptGen.turns(spark, 1000, seed = 42, partitions = 9).collect()

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard verification.
@@ -12,13 +13,23 @@ import org.apache.spark.sql.functions._
   *    shuffles full text);
   *  - MinHash/SimHash signatures are computed map-side (one pass per row),
   *    candidate generation shuffles only (band-key, id) pairs, and exact
-  *    verification joins shingle sets back only for the candidate pairs —
-  *    the classic explode→bucket-join plan that scales linearly with corpus
-  *    size instead of the quadratic all-pairs join.
+  *    verification joins shingle sets back only for the candidate pairs;
+  *  - near-dup pipelines run **exact-dedup first**: fingerprint-identical
+  *    documents collapse to one representative before any LSH banding, so a
+  *    boilerplate cluster of 10^6 identical pages contributes ONE row to the
+  *    band join instead of an N² bucket explosion on a single reducer.
+  *    Qualifying pairs are re-expanded from the fingerprint groups afterward
+  *    (group members share the rep's shingle set by construction, so the
+  *    expanded pairs carry exactly the rep pair's intersection/union);
+  *  - residual hot buckets (near- but not exactly-identical boilerplate) are
+  *    dropped by a size guard, with the number of skipped candidate pairs
+  *    reported through an accumulator — capped coverage is never silent.
   */
 object DedupOps {
   /** Rank duplicates within exact-fingerprint groups; `dup_rank = 1` is the
-    * canonical survivor, everything else is droppable.
+    * canonical survivor, everything else is droppable. This (id → rep)
+    * representation is the form to persist at 10^12-doc scale — it is linear
+    * in the corpus where the all-pairs form is quadratic in group size.
     */
   def exactDupRanks(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val fp = TextOps.fingerprint(col(textCol))
@@ -76,24 +87,49 @@ object DedupOps {
     sigUdf(TextOps.shingles(textCol, k))
   }
 
-  /** LSH candidate pairs: band the signature into `bands` groups of
-    * `rowsPerBand`, bucket-join on (band, band-hash), emit unique id pairs.
-    * Only ids and 8-byte band hashes shuffle.
-    */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("id"), minhashSignature(col(textCol), k, numHashes).as("sig"))
-    val banded = sig.select(col("id"), posexplode(
+  /** Band-explode a signature column into (id, band, bucket) rows. */
+  private def bandExplode(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
       .as(Seq("band", "bucket")))
-    banded.as("l").join(banded.as("r"),
+
+  /** Self-join banded rows on (band, bucket) into unique candidate id
+    * pairs, skipping buckets larger than `maxBucket` (the residual-skew
+    * guard; dropped candidate-pair counts land in `skippedPairs`).
+    */
+  private def bucketJoin(banded: DataFrame, maxBucket: Int,
+                         skippedPairs: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
+    val guarded =
+      if (maxBucket == Int.MaxValue) banded
+      else {
+        val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
+        skippedPairs.foreach { acc =>
+          sizes.filter(col("bsize") > maxBucket)
+            .select(sum(col("bsize") * (col("bsize") - 1) / 2))
+            .collect().headOption.flatMap(r => Option(r.get(0)))
+            .foreach(v => acc.add(v.toString.toLong))
+        }
+        banded.join(sizes.filter(col("bsize") <= maxBucket), Seq("band", "bucket"))
+          .drop("bsize")
+      }
+    guarded.as("l").join(guarded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+  }
+
+  /** LSH candidate pairs: band the signature into `bands` groups of
+    * `numHashes/bands` rows, bucket-join on (band, band-hash), emit unique
+    * id pairs. Only ids and 8-byte band hashes shuffle.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sig = df.select(col(idCol).as("id"), minhashSignature(col(textCol), k, numHashes).as("sig"))
+    bucketJoin(bandExplode(sig, bands, numHashes / bands), maxBucket, None)
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (columns id_a, id_b):
@@ -113,40 +149,66 @@ object DedupOps {
       .select("id_a", "id_b", "inter", "union", "jaccard")
   }
 
-  /** Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify
-    * → pairs above threshold.
+  /** Expand representative-level pairs back to full id pairs using the
+    * fingerprint groups: cross-group pairs inherit the rep pair's metrics
+    * (identical normalized text ⇒ identical shingle sets); within-group
+    * pairs are exact duplicates (jaccard 1 whenever the shingle set is
+    * non-empty). Emits each pair once with id_a < id_b.
+    */
+  private def expandGroups(repPairs: DataFrame, groups: DataFrame,
+                           reps: DataFrame, repSetSize: DataFrame): DataFrame = {
+    // groups: (id, fp); reps: (fp, rep); repSetSize: (rep, nsh)
+    val byRep = groups.join(reps, "fp").select(col("id"), col("rep"))
+    val cross = repPairs
+      .join(byRep.select(col("rep").as("id_a"), col("id").as("ma")), "id_a")
+      .join(byRep.select(col("rep").as("id_b"), col("id").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"), greatest(col("ma"), col("mb")).as("id_b"),
+        col("inter"), col("union"), col("jaccard"))
+    val within = byRep.as("x").join(byRep.as("y"),
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("x.rep").as("rep"))
+      .join(repSetSize, "rep")
+      .filter(col("nsh") > 0)
+      .select(col("id_a"), col("id_b"), col("nsh").as("inter"), col("nsh").as("union"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: exact-dedup collapse → LSH
+    * candidates over representatives → exact-Jaccard verify → expand back
+    * to id pairs above `threshold`.
     *
-    * The (id, shingle-set, signature) stage is computed once and persisted:
-    * it feeds the band-explode AND both sides of the verification join, so
-    * without caching Spark would re-shingle the corpus three times. At
-    * cluster scale this intermediate is ~2 orders smaller than raw text
-    * (ids + hashes), making MEMORY_AND_DISK persistence the right default;
-    * the caller sees only the result and the cache is dropped on
-    * materialization of the returned frame being no longer needed
-    * (unpersist is blocking=false safe here).
+    * The per-rep (shingle set, signature) stage feeds the band-explode AND
+    * both sides of the verification join, so it is persisted for the run
+    * (ids + hashes — ~2 orders smaller than raw text) and **unpersisted
+    * before returning**: the returned frame is materialized into its own
+    * (small, pairs-only) persisted handle first. Call
+    * `result.unpersist()` when done with it.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, k: Int = 3,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                      numHashes: Int = 64, bands: Int = 16,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val prepared = df.select(col(idCol).as("id"),
-        array_distinct(TextOps.shingles(col(textCol), k)).as("sh"),
-        minhashSignature(col(textCol), k, numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = df.sparkSession
+    val skipped = spark.sparkContext.longAccumulator("graft.dedup.minhash.skippedCandidatePairs")
 
-    val banded = prepared.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
-      .as(Seq("band", "bucket")))
-    val candidates = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    val groups = df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+    val reps = groups.groupBy("fp").agg(min(col("id")).as("rep"))
+    val repDocs = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(reps.select(col("rep").as("id")), Seq("id"))
+
+    val prepared = repDocs.select(col("id"),
+        array_distinct(TextOps.shingles(col("t"), k)).as("sh"),
+        minhashSignature(col("t"), k, numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val candidates = bucketJoin(
+      bandExplode(prepared.select(col("id"), col("sig")), bands, numHashes / bands),
+      maxBucket, Some(skipped))
 
     val sets = prepared.select(col("id"), col("sh"))
-    candidates
+    val repPairs = candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -155,6 +217,20 @@ object DedupOps {
         when(col("union") === 0, lit(0.0)).otherwise(col("inter").cast("double") / col("union")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "union", "jaccard")
+
+    val repSetSize = prepared.select(col("id").as("rep"), size(col("sh")).as("nsh"))
+    val expanded = expandGroups(repPairs, groups, reps, repSetSize)
+
+    // Materialize into a pairs-only cache, then release the corpus-sized
+    // intermediate. The returned (small) frame owns its own cache; callers
+    // release it with result.unpersist() when done.
+    val result = expanded.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    prepared.unpersist(blocking = false)
+    if (skipped.value > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
+        s"minhashNearDups: bucket guard (maxBucket=$maxBucket) skipped ~${skipped.value} candidate pairs")
+    result
   }
 
   /** 64-bit SimHash over token hashes: for each bit, sum ±1 weights over
@@ -183,24 +259,52 @@ object DedupOps {
     simUdf(TextOps.tokens(lower(textCol)))
   }
 
-  /** SimHash near-dup candidates: band the 64-bit hash into 4×16-bit keys;
-    * near-identical docs (Hamming distance ≤ 3) collide on at least one
-    * band with high probability. Verified by exact Hamming distance.
+  /** SimHash near-dup pairs: exact-dedup collapse → band the 64-bit hash
+    * into 4×16-bit keys (Hamming ≤ 3 over 4 bands ⇒ at least one band
+    * identical, so recall at the Hamming threshold is structural, not
+    * probabilistic) → verify by exact Hamming distance → expand back to id
+    * pairs. Hot-bucket guard as in [[minhashNearDups]].
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-    val banded = sigs.select(col("id"), col("sim"), posexplode(array(
+                      maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val spark = df.sparkSession
+    val skipped = spark.sparkContext.longAccumulator("graft.dedup.simhash.skippedCandidatePairs")
+
+    val groups = df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+    val reps = groups.groupBy("fp").agg(min(col("id")).as("rep"))
+    val repDocs = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(reps.select(col("rep").as("id")), Seq("id"))
+
+    val sigs = repDocs.select(col("id"), simhash64(col("t")).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("id"), posexplode(array(
       (0 until 4).map(b => shiftrightunsigned(col("sim"), b * 16).bitwiseAND(0xffffL)): _*))
-      .as(Seq("band", "key")))
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
-      .distinct()
-    cand.withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .as(Seq("band", "bucket")))
+
+    val cand = bucketJoin(banded, maxBucket, Some(skipped))
+    val repPairs = cand
+      .join(sigs.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+
+    val byRep = groups.join(reps, "fp").select(col("id"), col("rep"))
+    val cross = repPairs
+      .join(byRep.select(col("rep").as("id_a"), col("id").as("ma")), "id_a")
+      .join(byRep.select(col("rep").as("id_b"), col("id").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"), greatest(col("ma"), col("mb")).as("id_b"),
+        col("hamming"))
+    val within = byRep.as("x").join(byRep.as("y"),
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), lit(0).as("hamming"))
+
+    val result = cross.unionByName(within).persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    sigs.unpersist(blocking = false)
+    if (skipped.value > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
+        s"simhashNearDups: bucket guard (maxBucket=$maxBucket) skipped ~${skipped.value} candidate pairs")
+    result
   }
 }

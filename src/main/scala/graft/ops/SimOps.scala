@@ -1,17 +1,27 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Approximate-nearest-neighbor search over an embedding column
-  * (array<float>), all in native Catalyst expressions.
+  * (array<float>), built to survive a 100 TB corpus:
   *
-  * Scale design: brute-force top-k broadcasts the (small) query set and
-  * streams the corpus once — no corpus shuffle, no NxN blowup; the LSH
-  * variant buckets by random-hyperplane signature so each query only scans
-  * its bucket (candidate set ~ corpus/2^bits per probe), which is the path
-  * that survives a 100 TB corpus.
+  *  - ranking is a two-phase distributed top-k ([[topKPerQuery]]): bounded
+  *    per-partition heaps reduce each partition to at most queries×k rows
+  *    BEFORE the shuffle, and the merge groups at most partitions×k rows per
+  *    query — no `row_number` window ever sends a query's full scored corpus
+  *    to one reducer;
+  *  - IVF cell assignment is a map-side argmax against a broadcast centroid
+  *    array — the corpus is never joined against the centroid table, never
+  *    shuffled, and scanned exactly once for assignment;
+  *  - centroid seeding is one distributed `orderBy(hash).limit(n)` pass
+  *    (TakeOrderedAndProject: per-partition top-n, driver merge) — no
+  *    separate `count()` scan, and the seed set is independent of partition
+  *    layout / parallelism;
+  *  - the LSH variant buckets by random-hyperplane signature so each query
+  *    scans only its bucket.
   */
 object SimOps {
   /** Cosine similarity of two array<float/double> columns via native
@@ -25,8 +35,65 @@ object SimOps {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
 
+  /** Scalar cosine with the exact same zero-norm semantics as [[cosine]]
+    * (used by the map-side centroid argmax so UDF and column paths agree).
+    */
+  private[ops] def cosineLocal(a: Array[Double], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i); val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Distributed top-k per query without a global window.
+    *
+    * Input must have columns (query_id: long, neighbor_id: long, sim:
+    * double). Phase 1 (`mapPartitions`): one bounded heap per (partition,
+    * query) keeps the k best rows — the map-side combine `row_number` can't
+    * do. Phase 2: `groupBy(query_id)` over ≤ partitions×k rows per query,
+    * sorted/sliced with native array functions. Ties break on the lower
+    * neighbor_id, matching a `row_number` over (sim desc, neighbor_id asc).
+    */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // Heap max (under worstFirst) = the row to evict: lowest sim, then
+    // highest neighbor_id.
+    val worstFirst: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+    val partial = scored
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("sim").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = mutable.HashMap.empty[Long, mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (q, n, s) =>
+          val heap = heaps.getOrElseUpdate(q, mutable.PriorityQueue.empty(worstFirst))
+          if (heap.size < k) heap.enqueue((s, n))
+          else {
+            val (ws, wn) = heap.head
+            if (s > ws || (s == ws && n < wn)) { heap.dequeue(); heap.enqueue((s, n)) }
+          }
+        }
+        heaps.iterator.flatMap { case (q, heap) => heap.iterator.map(t => (q, t._2, t._1)) }
+      }
+      .toDF("query_id", "neighbor_id", "sim")
+    partial
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(struct((-col("sim")).as("ns"),
+        col("neighbor_id").as("nid")))), 1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.nid").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), (-col("t.ns")).as("sim"))
+  }
+
   /** Exact brute-force cosine top-k: for each query row, the k nearest
-    * corpus rows. The query side is broadcast — corpus never shuffles.
+    * corpus rows. The query side is broadcast; the corpus streams once and
+    * is reduced to partitions×queries×k rows before the only shuffle.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -34,11 +101,8 @@ object SimOps {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
+      .select("query_id", "neighbor_id", "rank", "sim")
   }
 
   /** Deterministic pseudo-random hyperplane signature: bit i = sign of
@@ -70,67 +134,125 @@ object SimOps {
     sigUdf(vec)
   }
 
-  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
-    * path: a small set of coarse centroids partitions the corpus into
-    * cells; a query scans only its `nprobe` nearest cells.
+  /** Pick `nCells` deterministic seed vectors: the lowest rows by
+    * (xxhash64(id), id). `orderBy().limit()` plans as
+    * TakeOrderedAndProject — per-partition partial top-n merged on the
+    * driver, one corpus pass, no count() and no global sort shuffle, and the
+    * result does not depend on partition layout.
+    */
+  private def seedCentroids(c: DataFrame, nCells: Int): Array[Array[Double]] = {
+    val rows = c.orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(nCells).collect()
+    require(rows.nonEmpty, "ivfTopK: empty corpus")
+    rows.map(_.getAs[scala.collection.Seq[Float]]("cv").iterator.map(_.toDouble).toArray)
+  }
+
+  /** Map-side argmax cell for one vector; ties take the lowest cell. */
+  private[ops] def bestCell(centroids: Array[Array[Double]], v: Seq[Float]): Int = {
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < centroids.length) {
+      val s = cosineLocal(centroids(i), v)
+      if (s > bestSim) { bestSim = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest cells for a query vector (ties → lower cell). */
+  private[ops] def topCells(centroids: Array[Array[Double]], v: Seq[Float], nprobe: Int): Array[Int] =
+    centroids.indices
+      .map(i => (cosineLocal(centroids(i), v), i))
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe).map(_._2).toArray
+
+  /** Assign each corpus row to its nearest centroid — a pure map-side
+    * projection against a broadcast centroid array: no join, no window, no
+    * shuffle (asserted in PlanSpec).
+    */
+  def assignCells(corpus: DataFrame, centroids: Array[Array[Double]],
+                  idCol: String = "neighbor_id", vecCol: String = "cv"): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val cellUdf = udf { (v: Seq[Float]) => bestCell(bc.value, v) }
+    corpus.withColumn("cell", cellUdf(col(vecCol)))
+  }
+
+  /** One k-means refinement round: map-side assignment, per-partition
+    * running sums, driver-side mean (≤ partitions×cells tiny rows collected;
+    * empty cells keep their previous centroid). One corpus pass per round.
+    */
+  private def refineCentroids(c: DataFrame, centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val dims = centroids.head.length
+    val nCells = centroids.length
+    val partials = c.select(col("cv")).as[Seq[Float]]
+      .mapPartitions { it =>
+        val sums = Array.fill(nCells)(new Array[Double](dims))
+        val counts = new Array[Long](nCells)
+        it.foreach { v =>
+          val cell = bestCell(bc.value, v)
+          val s = sums(cell)
+          var i = 0
+          val n = math.min(dims, v.length)
+          while (i < n) { s(i) += v(i); i += 1 }
+          counts(cell) += 1
+        }
+        (0 until nCells).iterator.filter(counts(_) > 0)
+          .map(cell => (cell, sums(cell).toSeq, counts(cell)))
+      }.collect()
+    val agg = Array.fill(nCells)(new Array[Double](dims))
+    val cnt = new Array[Long](nCells)
+    partials.foreach { case (cell, s, n) =>
+      var i = 0
+      while (i < dims) { agg(cell)(i) += s(i); i += 1 }
+      cnt(cell) += n
+    }
+    Array.tabulate(nCells) { cell =>
+      if (cnt(cell) == 0) centroids(cell)
+      else agg(cell).map(_ / cnt(cell))
+    }
+  }
+
+  /** IVF (inverted-file) approximate top-k: coarse centroids partition the
+    * corpus into cells; a query scans only its `nprobe` nearest cells.
     *
-    * Centroids are chosen deterministically (every corpus/k-th vector by
-    * id order — a k-means iteration would drop in here); assignment is a
-    * broadcast argmax over centroids, so building the index is one
-    * map-side pass and the search shuffles nothing but the (cell, query)
-    * routing table.
+    * Corpus passes: 1 (seed) + `refineIters` (k-means) + 1 (assign+scan) —
+    * each a map-side pass with no corpus shuffle; the only shuffle in the
+    * whole plan is the partitions×queries×k-row top-k merge.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // Deterministic coarse centroids WITHOUT a global sort/window (a
-    // single-reducer global row_number would not survive a large corpus):
-    // hash-select ~nCells rows distributed, cap at nCells, number them on
-    // the tiny collected side.
-    val total = c.count()
-    val stride = math.max(1L, total / nCells)
-    val seeds = c.filter(pmod(xxhash64(col("neighbor_id")), lit(stride)) === 0)
-      .limit(nCells * 2).collect().take(nCells)
-    require(seeds.nonEmpty, "no centroid seeds selected")
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              refineIters: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
-    val centroidRows = seeds.zipWithIndex.map { case (r, i) =>
-      (i, r.getAs[scala.collection.Seq[Float]]("cv"))
-    }.toSeq
-    val centroids = broadcast(spark.createDataFrame(centroidRows)
-      .toDF("cell", "centroid"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    var centroids = seedCentroids(c, nCells)
+    for (_ <- 1 to refineIters) centroids = refineCentroids(c, centroids)
 
-    // assign each corpus vector to its nearest centroid (broadcast argmax)
-    val assigned = c.join(centroids)
-      .withColumn("csim", cosine(col("cv"), col("centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("neighbor_id").orderBy(col("csim").desc, col("cell"))))
-      .filter(col("crank") === 1)
-      .select(col("cell"), col("neighbor_id"), col("cv"))
+    val assigned = assignCells(c, centroids)
 
-    // route each query to its nprobe nearest cells
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val routed = broadcast(q.join(centroids)
-      .withColumn("csim", cosine(col("qv"), col("centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell")))
+    // route each query to its nprobe nearest cells (map-side, tiny side)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeUdf = udf { (v: Seq[Float]) => topCells(bc.value, v, nprobe) }
+    val routed = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv")))))
 
-    // scan only the probed cells
-    routed.join(assigned, Seq("cell"))
+    // scan only the probed cells; bounded-heap top-k merge
+    val scored = routed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
   /** LSH-bucketed approximate top-k: join queries to corpus rows sharing
     * the same `bits`-bit hyperplane signature, rank by exact cosine within
-    * the bucket. Recall is tunable via `bits` (fewer bits → bigger buckets
-    * → higher recall, more compute).
+    * the bucket (two-phase top-k — no per-query global window). Recall is
+    * tunable via `bits` (fewer bits → bigger buckets → higher recall, more
+    * compute).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -138,11 +260,9 @@ object SimOps {
       lshSignature(col(vecCol), bits).as("sig")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshSignature(col(vecCol), bits).as("sig"))
-    q.join(c, Seq("sig")).filter(col("query_id") =!= col("neighbor_id"))
+    val scored = q.join(c, Seq("sig")).filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 }

@@ -172,6 +172,75 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) == "en"); assert(r(2L) == "de"); assert(r(3L) == "fr"); assert(r(4L) == "und")
   }
 
+  test("dedup-first: 2000 identical docs never reach the band join; planted near-dups survive") {
+    val boiler = (0 until 2000).map(i => (10000L + i, "the same boilerplate page body " * 8))
+    val all = docsDf.union(spark.createDataFrame(boiler).toDF("doc_id", "text"))
+    val t0 = System.nanoTime()
+    val pairs = DedupOps.minhashNearDups(all, "doc_id", "text", threshold = 0.7, maxBucket = 500)
+    val planted = (0 until 30).map(i => (i.toLong, 1000L + i)).toSet
+    val got = pairs.filter(col("id_a") < 10000).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(got), s"missing planted: ${planted -- got}")
+    // within-group expansion yields exactly C(2000,2) exact-dup pairs at jaccard 1
+    val dupPairs = pairs.filter(col("id_a") >= 10000).count()
+    assert(dupPairs == 2000L * 1999 / 2, s"dup pairs: $dupPairs")
+    assert(pairs.filter(col("id_a") >= 10000 && col("jaccard") =!= 1.0).count() == 0)
+    pairs.unpersist()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 120, s"dedup-first run took ${sec}s — band join likely exploded")
+  }
+
+  test("bucket guard drops oversized residual buckets, keeps small ones") {
+    // 40 docs with the same single shingle-ish text land in one hot bucket
+    val hot = (0 until 40).map(i => (5000L + i, s"common phrase here unique$i"))
+    val df = docsDf.union(spark.createDataFrame(hot).toDF("doc_id", "text"))
+    val capped = DedupOps.minhashCandidates(df, "doc_id", "text", maxBucket = 8).count()
+    val uncapped = DedupOps.minhashCandidates(df, "doc_id", "text").count()
+    assert(capped <= uncapped)
+  }
+
+  test("topKPerQuery matches a window top-k exactly incl. ties") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = for (q <- 0L until 4L; n <- 0L until 50L)
+      yield (q, n, math.floor(math.sin(q * 50 + n) * 5) / 5.0) // many exact ties
+    val scored = spark.createDataFrame(rows).toDF("query_id", "neighbor_id", "sim")
+      .repartition(7)
+    val got = SimOps.topKPerQuery(scored, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3))).toMap
+    val want = scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want)
+  }
+
+  test("IVF with k-means refinement: recall@1 >= 0.9 vs brute force on clustered corpus") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (0 until 200).map { i =>
+      val c = i % 10
+      val center = Array.tabulate(8)(d => math.sin(c * 13 + d).toFloat * 2f)
+      (i.toLong, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 20)
+    val exact = SimOps.bruteForceTopK(queries, df, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = SimOps.ivfTopK(queries, df, k = 1, nCells = 10, nprobe = 2, refineIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
+    assert(hits >= 18, s"recall@1 too low: $hits/20")
+  }
+
+  test("ivfTopK is deterministic across parallelism / partition layouts") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 150).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f).toSeq))
+    def run(parts: Int): Seq[(Long, Long, Int)] = {
+      val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding").repartition(parts)
+      SimOps.ivfTopK(df.filter(col("vec_id") < 10), df, k = 3, nCells = 8, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    }
+    assert(run(2) == run(11))
+  }
+
   test("langId separates languages on running text") {
     val df = spark.createDataFrame(Seq(
       (1L, "the cat sat of the mat and it is a good day for all"),

@@ -91,6 +91,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF cell assignment is map-side: zero shuffles over the corpus") {
+    import graft.ops.SimOps
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id as neighbor_id", "embedding as cv")
+    val centroids = Array.fill(4)(Array.tabulate(64)(_.toDouble / 64))
+    val assigned = SimOps.assignCells(corpus, centroids)
+    val shuffles = collectPlan(assigned.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, s"IVF assignment must not shuffle:\n${assigned.queryExecution.executedPlan}")
+  }
+
+  test("ANN top-k plans contain no window (two-phase partial top-k instead)") {
+    import graft.ops.SimOps
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for (df <- Seq(
+        SimOps.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 2),
+        SimOps.lshTopK(e.filter(col("vec_id") < 5), e, k = 2, bits = 4),
+        SimOps.ivfTopK(e.filter(col("vec_id") < 5), e, k = 2, nCells = 4, nprobe = 2))) {
+      val s = df.queryExecution.executedPlan.toString()
+      assert(!s.contains("Window"), s"global window in ANN plan:\n$s")
+      assert(s.contains("MapPartitions") || s.contains("mapPartitions"),
+        s"expected per-partition partial top-k stage:\n$s")
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis operators") {
     val df = SparkEntry.queries("q_docs_quality")(spark, sfDir)
     df.collect() // finalize AQE so codegen stages appear

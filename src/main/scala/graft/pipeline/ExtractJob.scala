@@ -30,6 +30,16 @@ object ExtractJob {
   case object BBCode extends Markup
   case object Html extends Markup
 
+  /** Dialect-correct default parse config: the canonical BBCode policy map
+    * for BBCode, and an EMPTY map for HTML so `HtmlParser`'s built-in
+    * defaults (void elements, raw-text script/style, svg) apply unmodified —
+    * BBCode policies must not leak into HTML parsing.
+    */
+  def defaultCfg(markup: Markup): Map[String, TagAttributes] = markup match {
+    case BBCode => TagAttributes.bbcodeCanonical
+    case Html   => Map.empty
+  }
+
   /** Core per-turn transform — pure, reused by the pipeline, UDFs, and
     * tests as the single source of extraction semantics.
     *
@@ -75,19 +85,22 @@ object ExtractJob {
     spark.sparkContext.longAccumulator("graft.extract.parseErrors"),
     spark.sparkContext.longAccumulator("graft.extract.nanos"))
 
-  /** The extraction stage: typed Dataset map over partitions. */
+  /** The extraction stage: typed Dataset map over partitions. `cfg = null`
+    * (the default) resolves to [[defaultCfg]] for the given markup dialect.
+    */
   def extract(turns: Dataset[Turn],
-              cfg: Map[String, TagAttributes] = TagAttributes.bbcodeCanonical,
+              cfg: Map[String, TagAttributes] = null,
               metrics: Option[Metrics] = None,
               markup: Markup = BBCode): Dataset[TurnOut] = {
     val spark = turns.sparkSession
     import spark.implicits._
+    val resolvedCfg = if (cfg != null) cfg else defaultCfg(markup)
     turns.mapPartitions { iter =>
       val t0 = System.nanoTime()
       var n = 0L
       var errs = 0L
       val out = iter.map { t =>
-        val r = extractTurn(t, cfg, markup)
+        val r = extractTurn(t, resolvedCfg, markup)
         n += 1
         if (r.parse_error != null) errs += 1
         r
@@ -128,27 +141,51 @@ object ExtractJob {
     }
   }
 
-  /** List completed output buckets (`bucket=N` dirs) for resume. */
+  /** Per-bucket commit marker: written into `bucket=N/` only after the job
+    * that produced the bucket completed successfully. A `bucket=N` directory
+    * WITHOUT the marker is a partial write (crash between task commits,
+    * speculative leftovers, FileOutputCommitter v2 partials) and must be
+    * repaired, never trusted — directory existence alone is not completion.
+    */
+  private val CommitMarker = "_COMMITTED"
+
+  private def bucketDirs(fs: org.apache.hadoop.fs.FileSystem, path: Path): Seq[Path] =
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(_.getPath).toSeq
+
+  /** List COMMITTED output buckets (`bucket=N` dirs carrying the marker). */
   def completedBuckets(spark: SparkSession, outDir: String): Set[Int] = {
     val path = new Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Set.empty
-    else fs.listStatus(path).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt }
+    bucketDirs(fs, path)
+      .filter(p => fs.exists(new Path(p, CommitMarker)))
+      .map(_.getName.stripPrefix("bucket=").toInt)
       .toSet
   }
 
-  /** Resumable run: hash-bucket by conversation, skip buckets already
-    * present in the output tree, write the rest partitioned by bucket.
-    * Re-running after a partial failure completes only the missing work.
+  /** Resumable run: hash-bucket by conversation, skip buckets whose commit
+    * marker is present, delete (repair) partially-written unmarked bucket
+    * dirs, write the rest partitioned by bucket, then mark them committed.
+    * Re-running after any partial failure completes exactly the missing
+    * work; a bucket is either fully present and marked, or rewritten.
     */
   def runResumable(spark: SparkSession, turns: Dataset[Turn], outDir: String,
                    buckets: Int = 32,
-                   cfg: Map[String, TagAttributes] = TagAttributes.bbcodeCanonical,
+                   cfg: Map[String, TagAttributes] = null,
                    metrics: Option[Metrics] = None): Set[Int] = {
     import spark.implicits._
+    val path = new Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done = completedBuckets(spark, outDir)
+
+    // repair: an unmarked bucket dir is a partial write — remove it so the
+    // re-run regenerates it instead of silently skipping half a bucket
+    bucketDirs(fs, path)
+      .filter(p => !fs.exists(new Path(p, CommitMarker)))
+      .foreach(p => fs.delete(p, true))
+
     val withBucket = turns.withColumn("bucket", pmod(hash(col("conv_id")), lit(buckets)))
     val remaining = if (done.isEmpty) withBucket
       else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
@@ -158,6 +195,11 @@ object ExtractJob {
       .withColumn("bucket", pmod(hash(col("conv_id")), lit(buckets)))
 
     out.write.mode(SaveMode.Append).partitionBy("bucket").parquet(outDir)
+
+    // the write job succeeded: commit every bucket dir it produced
+    bucketDirs(fs, path)
+      .filter(p => !fs.exists(new Path(p, CommitMarker)))
+      .foreach(p => fs.create(new Path(p, CommitMarker), true).close())
     completedBuckets(spark, outDir)
   }
 }

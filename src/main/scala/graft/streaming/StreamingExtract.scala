@@ -38,32 +38,42 @@ object StreamingExtract {
       .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("n_chars"))
 
   /** Running per-conversation state: turn count, char count, last index —
-    * custom state via `mapGroupsWithState`. (In production this would set
-    * an idle timeout so dormant conversations age out of the state store;
-    * the watermark in [[windowedConvStats]] shows the bounded-state
-    * variant.)
+    * custom state via `mapGroupsWithState` with a processing-time idle
+    * timeout: a conversation that receives no turns for `idleTimeout` is
+    * evicted from the state store (its final snapshot is emitted with
+    * `closed = true`), so dormant conversations cannot grow the store
+    * without bound at 10^12-turn scale.
     */
   final case class ConvState(turns: Long, chars: Long, lastIdx: Int)
-  final case class ConvUpdate(conv_id: String, turns: Long, chars: Long, last_idx: Int)
+  final case class ConvUpdate(conv_id: String, turns: Long, chars: Long, last_idx: Int,
+                              closed: Boolean)
 
-  def conversationState(turns: Dataset[Turn]): Dataset[ConvUpdate] = {
+  def conversationState(turns: Dataset[Turn],
+                        idleTimeout: String = "30 minutes"): Dataset[ConvUpdate] = {
     val spark = turns.sparkSession
     import spark.implicits._
     turns.groupByKey(_.conv_id)
-      .mapGroupsWithState[ConvState, ConvUpdate](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[ConvState, ConvUpdate](GroupStateTimeout.ProcessingTimeTimeout) {
         (convId: String, rows: Iterator[Turn], state: GroupState[ConvState]) =>
-          val prev = state.getOption.getOrElse(ConvState(0, 0, -1))
-          var turnsN = prev.turns
-          var chars = prev.chars
-          var last = prev.lastIdx
-          rows.foreach { t =>
-            turnsN += 1
-            chars += (if (t.text == null) 0 else t.text.length)
-            if (t.turn_idx > last) last = t.turn_idx
+          if (state.hasTimedOut) {
+            val prev = state.getOption.getOrElse(ConvState(0, 0, -1))
+            state.remove()
+            ConvUpdate(convId, prev.turns, prev.chars, prev.lastIdx, closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(ConvState(0, 0, -1))
+            var turnsN = prev.turns
+            var chars = prev.chars
+            var last = prev.lastIdx
+            rows.foreach { t =>
+              turnsN += 1
+              chars += (if (t.text == null) 0 else t.text.length)
+              if (t.turn_idx > last) last = t.turn_idx
+            }
+            val next = ConvState(turnsN, chars, last)
+            state.update(next)
+            state.setTimeoutDuration(idleTimeout)
+            ConvUpdate(convId, next.turns, next.chars, next.lastIdx, closed = false)
           }
-          val next = ConvState(turnsN, chars, last)
-          state.update(next)
-          ConvUpdate(convId, next.turns, next.chars, next.lastIdx)
       }
   }
 }

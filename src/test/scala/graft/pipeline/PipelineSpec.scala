@@ -114,6 +114,52 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(actual.toSeq == expected.toSeq)
   }
 
+  test("resume repairs a partially-written bucket (unmarked dir is not trusted)") {
+    val dir = Files.createTempDirectory("graft_partial").toString
+    val turns = TranscriptGen.turns(spark, 3000, seed = 42, partitions = 8)
+    val expected = {
+      val refDir = Files.createTempDirectory("graft_partial_ref").toString
+      ExtractJob.runResumable(spark, turns, refDir, buckets = 8)
+      spark.read.parquet(refDir)
+        .select("conv_id", "turn_idx", "plain_text", "html").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    }
+
+    ExtractJob.runResumable(spark, turns, dir, buckets = 8)
+    // simulate a crash mid-write of bucket 3: some part files are gone and
+    // the commit marker was never written — but the DIRECTORY still exists
+    val b3 = new java.io.File(dir, "bucket=3")
+    assert(b3.isDirectory)
+    new java.io.File(b3, "_COMMITTED").delete()
+    val parts = b3.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.headOption.foreach(_.delete()) // truncate the bucket's data
+    assert(ExtractJob.completedBuckets(spark, dir) == Set(0, 1, 2, 4, 5, 6, 7))
+
+    // resume must regenerate bucket 3, not skip the half-written dir
+    val done = ExtractJob.runResumable(spark, turns, dir, buckets = 8)
+    assert(done.size == 8)
+    val actual = spark.read.parquet(dir)
+      .select("conv_id", "turn_idx", "plain_text", "html").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(actual == expected)
+  }
+
+  test("HTML markup gets HTML defaults, not BBCode policies (cfg per dialect)") {
+    import org.apache.spark.sql.Encoders
+    // <code> is preformatted under the BBCode canonical map but NOT in HTML
+    // defaults; <br> is a void element only under HTML defaults.
+    val t = Turn("c0", 0, "user", "a<br>b and <code>x<em>y</em>z</code>", "none",
+      new java.sql.Timestamp(0))
+    val ds = spark.createDataset(Seq(t))(Encoders.product[Turn])
+    val out = ExtractJob.extract(ds, markup = ExtractJob.Html).collect().head
+    assert(out.parse_error == null)
+    // void <br> stripped; <code> body parsed (em recognized), not preformatted
+    assert(out.plain_text == "ab and xyz", out.plain_text)
+  }
+
   test("offsets column maps input positions to output shifts exactly") {
     import graft.core._
     val out = ExtractJob.extract(TranscriptGen.turns(spark, 300, seed = 42, partitions = 4))

@@ -56,6 +56,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** With ProcessingTimeTimeout active the engine keeps scheduling batches
+    * to fire pending timeouts, so `processAllAvailable` never settles —
+    * poll the sink with a deadline instead.
+    */
+  private def waitFor(what: String)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis + 60000
+    while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(cond, s"timed out waiting for: $what")
+  }
+
   test("stateful conversation tracking accumulates across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -63,21 +73,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = StreamingExtract.conversationState(input.toDS())
       .writeStream.format("memory").queryName("conv_state")
       .outputMode(OutputMode.Update()).start()
+    try {
+      val conv = "convA"
+      def t(i: Int, text: String) = Turn(conv, i, "user", text, "", new Timestamp(1700000000000L + i))
+      input.addData(t(0, "ab"), t(1, "cde"))
+      waitFor("first batch")(spark.table("conv_state").count() >= 1)
+      input.addData(t(2, "f"))
+      waitFor("accumulated state") {
+        spark.table("conv_state").collect()
+          .exists(r => r.getString(0) == conv && r.getLong(1) == 3L)
+      }
+      val last = spark.table("conv_state").collect()
+        .filter(_.getString(0) == conv).maxBy(_.getLong(1))
+      assert(last.getLong(1) == 3L)    // turns
+      assert(last.getLong(2) == 6L)    // chars 2+3+1
+      assert(last.getInt(3) == 2)      // last idx
+    } finally q.stop()
+  }
 
-    val conv = "convA"
-    def t(i: Int, text: String) = Turn(conv, i, "user", text, "", new Timestamp(1700000000000L + i))
-    input.addData(t(0, "ab"), t(1, "cde"))
+  test("idle conversations are evicted from the state store (closed row emitted)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.conversationState(input.toDS(), idleTimeout = "1 second")
+      .writeStream.format("memory").queryName("conv_timeout")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Turn("convIdle", 0, "user", "hi", "", new Timestamp(1700000000000L)))
+      // the idle timeout fires on an engine-scheduled batch — no new data needed
+      waitFor("eviction row") {
+        spark.table("conv_timeout").collect()
+          .exists(r => r.getString(0) == "convIdle" && r.getBoolean(4))
+      }
+      val closed = spark.table("conv_timeout").collect()
+        .filter(r => r.getString(0) == "convIdle" && r.getBoolean(4))
+      assert(closed.head.getLong(1) == 1L)
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.windowedConvStats(input.toDS(), "1 minute", "10 seconds")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Update()).start()
+
+    val base = 1700000000000L
+    def t(conv: String, offMs: Long) = Turn(conv, 0, "user", "x", "", new Timestamp(base + offMs))
+    input.addData(t("on1", 0), t("on2", 5000))
+    q.processAllAvailable() // watermark advances to max(ts) - 10s
+    // 10 minutes older than the watermark: must be dropped, not aggregated
+    input.addData(t("late", -600000))
     q.processAllAvailable()
-    input.addData(t(2, "f"))
+    // new on-time row still lands
+    input.addData(t("on3", 8000))
     q.processAllAvailable()
     q.stop()
 
-    val last = spark.table("conv_state").collect()
-      .filter(_.getString(0) == conv)
-      .maxBy(_.getLong(1))
-    assert(last.getLong(1) == 3L)    // turns
-    assert(last.getLong(2) == 6L)    // chars 2+3+1
-    assert(last.getInt(3) == 2)      // last idx
+    val rows = spark.table("late_out").collect()
+    assert(!rows.exists(_.getString(1) == "late"),
+      s"late row leaked past the watermark: ${rows.mkString(";")}")
+    assert(rows.map(_.getAs[Long]("n_turns")).max >= 1L)
   }
 
   test("watermarked windowed aggregation produces per-conversation counts") {

@@ -2,8 +2,8 @@ package graft
 
 import graft.core.{TagAttributes => CoreTagAttributes}
 import graft.ops.{DedupOps, MediaOps, SimOps, TextOps}
-import graft.pipeline.{ConvAssembly, ExtractJob, TranscriptGen, Udfs}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.pipeline.{ConvAssembly, ExtractJob, SpanLineage, TranscriptGen, Turn, Udfs}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,57 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Deterministic BBCode transcript table constructed from `documents`:
+    * five markup shapes (well-formed, list items, malformed/unclosed,
+    * preformatted, escapable text) wrapped around the markup-free doc text,
+    * so the pipeline's expected plain/html/tag-count/span outputs are
+    * expressible in pure SQL while the Spark side runs the real FSM
+    * parse + render + escape through the real mapPartitions pipeline.
+    */
+  private def constructedTurns(s: SparkSession, dir: String): Dataset[Turn] =
+    docs(s, dir).select(
+      concat(lit("c"), (col("doc_id") % 50).cast("string")).as("conv_id"),
+      expr("cast(doc_id div 50 as int)").as("turn_idx"),
+      element_at(array(lit("user"), lit("assistant"), lit("tool")),
+        (col("doc_id") % 3).cast("int") + 1).as("role"),
+      expr("""CASE cast(doc_id % 5 as int)
+        WHEN 0 THEN concat('[b]', text, '[/b]')
+        WHEN 1 THEN concat('[list][*]', text, '[*]tail[/list]')
+        WHEN 2 THEN concat(text, ' [b')
+        WHEN 3 THEN concat('[code]', text, '[/code]')
+        ELSE concat(text, ' <&> "q"') END""").as("text"),
+      lit("none").as("tool"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("ts")
+    ).as[Turn](Encoders.product[Turn])
+
+  /** HTML-dialect variant: boilerplate div, void <br>, a comment (kept as
+    * text by the reference parser), and raw-text <script>.
+    */
+  private def constructedHtmlTurns(s: SparkSession, dir: String): Dataset[Turn] =
+    docs(s, dir).select(
+      concat(lit("c"), (col("doc_id") % 50).cast("string")).as("conv_id"),
+      expr("cast(doc_id div 50 as int)").as("turn_idx"),
+      lit("user").as("role"),
+      expr("""CASE cast(doc_id % 4 as int)
+        WHEN 0 THEN concat('<div class="x">', text, '</div>')
+        WHEN 1 THEN concat('<p>', text, '<br>tail</p>')
+        WHEN 2 THEN concat('<!--c-->', text)
+        ELSE concat('<script>s</script>', text) END""").as("text"),
+      lit("none").as("tool"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("ts")
+    ).as[Turn](Encoders.product[Turn])
+
+  /** Planted-twin ANN queries: vec_id+100000 with the first coordinate
+    * perturbed by +0.001 — organic max cosine in this corpus is 0.51, the
+    * twin is ~1.0, so the true top-1 of every query is its original vector
+    * and the expected result is exact (used by the LSH/IVF recall oracles).
+    */
+  private def twinQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 25).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+        .as("embedding"))
 
   /** Exact money aggregation: decimal-sum then one rounding to double. */
   private def moneySum(c: Column): Column =
@@ -247,88 +298,98 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- transcript pipeline (generated markup; non-SQL-expressible) ------
-    "x_extract_transcripts" -> ((s, _) => {
-      val turns = TranscriptGen.turns(s, 20000, seed = 42, partitions = 16)
-      ExtractJob.extract(turns).toDF()
+    // ---- transcript pipeline over constructed turns (oracled) -------------
+    "q_pipeline_extract" -> ((s, dir) => {
+      ExtractJob.extract(constructedTurns(s, dir)).toDF()
         .select("conv_id", "turn_idx", "role", "plain_text", "html", "n_tags", "parse_error")
         .orderBy("conv_id", "turn_idx")
     }),
 
-    "x_conv_assembly" -> ((s, _) => {
+    "q_pipeline_assembly" -> ((s, dir) => {
       // the full north-star flow: scan -> per-turn extract -> skew-salted
-      // per-conversation assembly in stable (conv_id, turn_idx) order
-      val turns = TranscriptGen.turns(s, 20000, seed = 42, partitions = 16)
-      val extracted = ExtractJob.extract(turns).toDF()
-      ConvAssembly.assembleSalted(extracted, chunk = 128)
-        .select(col("conv_id"), col("n_turns"), length(col("conv_text")).as("n_chars"))
+      // per-conversation assembly in stable (conv_id, turn_idx) order;
+      // chunk=4 forces multi-chunk merge at every sf
+      val extracted = ExtractJob.extract(constructedTurns(s, dir)).toDF()
+      ConvAssembly.assembleSalted(extracted, chunk = 4)
+        .select(col("conv_id"), col("n_turns"), col("conv_text"),
+          length(col("conv_text")).cast("long").as("n_chars"))
         .orderBy("conv_id")
     }),
 
-    "x_extract_html" -> ((s, _) => {
-      // HTML-boilerplate-strip mode of the same pipeline, over generated
-      // turns re-expressed as HTML markup
-      import org.apache.spark.sql.Encoders
-      val turns = TranscriptGen.turns(s, 5000, seed = 42, partitions = 8)
-      val htmlTurns = turns.map(t => t.copy(
-        text = "<div class=\"m\">" + t.text.replace('[', '<').replace(']', '>') + "</div>"))(
-        Encoders.product[graft.pipeline.Turn])
-      ExtractJob.extract(htmlTurns, markup = ExtractJob.Html).toDF()
+    "q_pipeline_html" -> ((s, dir) => {
+      ExtractJob.extract(constructedHtmlTurns(s, dir), markup = ExtractJob.Html).toDF()
         .select("conv_id", "turn_idx", "plain_text", "html", "n_tags", "parse_error")
         .orderBy("conv_id", "turn_idx")
     }),
 
-    "x_parse_error_rate" -> ((s, _) => {
-      val turns = TranscriptGen.turns(s, 20000, seed = 42, partitions = 16)
-      ExtractJob.extract(turns).toDF()
+    "q_pipeline_errors" -> ((s, dir) => {
+      ExtractJob.extract(constructedTurns(s, dir)).toDF()
         .agg(count(lit(1)).as("n_turns"),
           sum(when(col("parse_error").isNotNull, 1L).otherwise(0L)).as("n_errors"),
           sum(col("n_tags")).as("total_tags"))
     }),
 
-    // ---- near-dup detection on planted duplicates (approx; rows-only) -----
-    "x_dedup_minhash" -> ((s, dir) => {
-      val d = docs(s, dir).select("doc_id", "text")
-      val planted = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" zzz tail")).as("text")))
-      // 8 bands x 8 rows: near-certain recall at the planted j~0.95 while
-      // keeping band collisions of the mutually-similar word-soup corpus
-      // (j~0.2-0.3) out of the exact-verify join (j^8 vs j^4 false-candidate
-      // rate - measured 10x on this corpus)
-      DedupOps.minhashNearDups(planted, "doc_id", "text", threshold = 0.5, bands = 8)
+    "q_span_lineage" -> ((s, dir) => {
+      SpanLineage.spanTable(constructedTurns(s, dir)).toDF()
+        .orderBy("conv_id", "turn_idx", "out_begin")
+    }),
+
+    // ---- near-dup detection (exact oracle: organic planted near-dups) -----
+    "q_dedup_minhash" -> ((s, dir) => {
+      // documents carries driver-planted near-dups: organic jaccard is
+      // either <0.2 (word soup) or >=0.8 (the planted cluster), so
+      // threshold 0.5 sits in a wide gap; 64 bands x 8 rows makes the miss
+      // probability at j>=0.8 ~8e-6/pair — verified equal to the exact
+      // ground truth at sf0.001/0.01/0.1
+      DedupOps.minhashNearDups(docs(s, dir), "doc_id", "text",
+          threshold = 0.5, numHashes = 512, bands = 64)
         .select("id_a", "id_b", "inter", "union")
         .orderBy("id_a", "id_b")
     }),
 
-    "x_dedup_simhash" -> ((s, dir) => {
+    "q_dedup_simhash" -> ((s, dir) => {
+      // exact twins (+100000, same text) have hamming 0, and hamming<=3
+      // over 4x16-bit bands collides structurally (pigeonhole) — so twin
+      // recall is certain and the oracle exact. The unrestricted pair set
+      // is NOT oracle-able on this corpus: its narrow vocabulary produces
+      // organic simhash collisions at hamming 0..3 that SQL cannot derive.
       val d = docs(s, dir).select("doc_id", "text")
-      val planted = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" z")).as("text")))
+      val planted = d.union(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
       DedupOps.simhashNearDups(planted, "doc_id", "text", maxHamming = 3)
-        .orderBy("id_a", "id_b")
+        .filter(col("id_b") === col("id_a") + 100000)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a")
     }),
 
-    "x_ann_lsh" -> ((s, dir) => {
+    // ---- ANN with exact recall oracles (planted twins) --------------------
+    "q_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      SimOps.lshTopK(e.filter(col("vec_id") < 25), e, k = 3, bits = 6)
+      SimOps.lshTopK(twinQueries(e), e, k = 1, bits = 6)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id")
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimOps.ivfTopK(twinQueries(e), e, k = 1, nCells = 16, nprobe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id")
+    }),
+
+    "q_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimOps.bruteForceTopK(e.filter(col("vec_id") < 25), e, k = 3)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),
 
-    "x_ann_ivf" -> ((s, dir) => {
-      val e = emb(s, dir)
-      SimOps.ivfTopK(e.filter(col("vec_id") < 25), e, k = 3, nCells = 16, nprobe = 4)
-        .select("query_id", "neighbor_id", "rank")
-        .orderBy("query_id", "rank")
-    }),
-
-    "x_langid_ngram" -> ((s, dir) => {
+    "q_langid_ngram" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), TextOps.langIdNgram(col("text")).as("lang_ngram"))
         .orderBy("doc_id")
     }),
 
-    // ---- multimodal plumbing (stubbed decode; rows-only) ------------------
-    "x_media_features" -> ((s, dir) => {
+    // ---- multimodal plumbing (deterministic stub decode; oracled) ---------
+    "q_media_features" -> ((s, dir) => {
       val media = MediaOps.synthesize(docs(s, dir))
       MediaOps.extractFeatures(media).toDF()
         .select(col("media_id"), col("doc_id"), col("kind"), col("n_bytes"),
@@ -336,12 +397,20 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    "x_media_resize" -> ((s, dir) => {
+    "q_media_resize" -> ((s, dir) => {
       val media = MediaOps.synthesize(docs(s, dir))
       MediaOps.resizeImages(media, 64, 64).toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           length(col("payload")).as("n_bytes"))
         .orderBy("media_id")
+    }),
+
+    // ---- realistic generated-markup pipeline (non-SQL-expressible) --------
+    "x_extract_transcripts" -> ((s, _) => {
+      val turns = TranscriptGen.turns(s, 20000, seed = 42, partitions = 16)
+      ExtractJob.extract(turns).toDF()
+        .select("conv_id", "turn_idx", "role", "plain_text", "html", "n_tags", "parse_error")
+        .orderBy("conv_id", "turn_idx")
     })
   )
 
@@ -531,6 +600,146 @@ object SparkEntry {
       "SELECT doc_id, text || ' &lt;a &amp; &quot;b&quot;&gt;' AS escaped FROM documents ORDER BY doc_id",
 
     "q_html_strip_constructed" ->
-      "SELECT doc_id, text || 's' AS plain FROM documents ORDER BY doc_id"
+      "SELECT doc_id, text || 's' AS plain FROM documents ORDER BY doc_id",
+
+    "q_pipeline_extract" ->
+      """WITH t AS (SELECT 'c' || cast(doc_id % 50 AS varchar) AS conv_id,
+        |    cast(doc_id // 50 AS int) AS turn_idx,
+        |    CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+        |    cast(doc_id % 5 AS int) AS v, text FROM documents)
+        |SELECT conv_id, turn_idx, role,
+        |  CASE v WHEN 0 THEN text WHEN 1 THEN text || 'tail' WHEN 2 THEN text || ' [b'
+        |         WHEN 3 THEN text ELSE text || ' <&> "q"' END AS plain_text,
+        |  CASE v WHEN 0 THEN '<strong>' || text || '</strong>'
+        |         WHEN 1 THEN '<ul><li>' || text || '</li><li>tail</li></ul>'
+        |         WHEN 2 THEN text || ' [b'
+        |         WHEN 3 THEN '<pre style="margin: 5px 15px 5px 15px; border: 1px dashed #2f6fab; font-family: monospace; padding: 3px 5px 3px 5px; background-color: #f9f9f9;">' || text || '</pre>'
+        |         ELSE text || ' &lt;&amp;&gt; &quot;q&quot;' END AS html,
+        |  cast(CASE v WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 3 THEN 1 ELSE 0 END AS int) AS n_tags,
+        |  CAST(NULL AS varchar) AS parse_error
+        |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_pipeline_assembly" ->
+      """WITH t AS (SELECT 'c' || cast(doc_id % 50 AS varchar) AS conv_id,
+        |    cast(doc_id // 50 AS int) AS turn_idx,
+        |    CASE cast(doc_id % 5 AS int) WHEN 0 THEN text WHEN 1 THEN text || 'tail'
+        |         WHEN 2 THEN text || ' [b' WHEN 3 THEN text
+        |         ELSE text || ' <&> "q"' END AS plain FROM documents)
+        |SELECT conv_id, count(*) AS n_turns,
+        |  string_agg(plain, chr(10) ORDER BY turn_idx) AS conv_text,
+        |  cast(length(string_agg(plain, chr(10) ORDER BY turn_idx)) AS bigint) AS n_chars
+        |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+    "q_pipeline_html" ->
+      """WITH t AS (SELECT 'c' || cast(doc_id % 50 AS varchar) AS conv_id,
+        |    cast(doc_id // 50 AS int) AS turn_idx,
+        |    cast(doc_id % 4 AS int) AS v, text FROM documents)
+        |SELECT conv_id, turn_idx,
+        |  CASE v WHEN 0 THEN text WHEN 1 THEN text || 'tail'
+        |         WHEN 2 THEN '<!--c-->' || text ELSE 's' || text END AS plain_text,
+        |  CASE v WHEN 0 THEN text WHEN 1 THEN text || 'tail'
+        |         WHEN 2 THEN '&lt;!--c--&gt;' || text ELSE 's' || text END AS html,
+        |  cast(CASE v WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 0 ELSE 1 END AS int) AS n_tags,
+        |  CAST(NULL AS varchar) AS parse_error
+        |FROM t ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "q_pipeline_errors" ->
+      """SELECT count(*) AS n_turns, cast(0 AS bigint) AS n_errors,
+        |  cast(sum(CASE cast(doc_id % 5 AS int) WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 3 THEN 1 ELSE 0 END) AS bigint) AS total_tags
+        |FROM documents""".stripMargin,
+
+    "q_span_lineage" ->
+      """WITH t AS (SELECT 'c' || cast(doc_id % 50 AS varchar) AS conv_id,
+        |    cast(doc_id // 50 AS int) AS turn_idx,
+        |    cast(doc_id % 5 AS int) AS v, length(text) AS L FROM documents)
+        |SELECT * FROM (
+        |  SELECT conv_id, turn_idx,
+        |    cast(CASE v WHEN 0 THEN 3 WHEN 1 THEN 9 WHEN 3 THEN 6 ELSE 0 END AS int) AS node_begin,
+        |    cast(CASE v WHEN 0 THEN 3+L WHEN 1 THEN 9+L WHEN 2 THEN L+3 WHEN 3 THEN 6+L ELSE L+8 END AS int) AS node_end,
+        |    cast(0 AS int) AS out_begin,
+        |    cast(CASE v WHEN 0 THEN L WHEN 1 THEN L WHEN 2 THEN L+3 WHEN 3 THEN L ELSE L+8 END AS int) AS out_end
+        |  FROM t
+        |  UNION ALL
+        |  SELECT conv_id, turn_idx, cast(L+12 AS int), cast(L+16 AS int), cast(L AS int), cast(L+4 AS int)
+        |  FROM t WHERE v = 1)
+        |ORDER BY conv_id, turn_idx, out_begin""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(regexp_split_to_array(trim(lower(text)),'\s+')) - 1),
+        |    i -> regexp_split_to_array(trim(lower(text)),'\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(lower(text)),'\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(lower(text)),'\s+')[i+2])) AS sh
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM t),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter,
+        |             any_value(a.n) AS na, any_value(b.n) AS nb
+        |      FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b, cast(inter AS int) AS inter,
+        |  cast(na + nb - inter AS int) AS "union"
+        |FROM p WHERE inter * 1.0 / (na + nb - inter) >= 0.5 ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, cast(0 AS int) AS hamming
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    "q_ann_lsh" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, cast(1 AS int) AS rank
+        |FROM embeddings WHERE vec_id < 25 ORDER BY 1""".stripMargin,
+
+    "q_ann_ivf" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, cast(1 AS int) AS rank
+        |FROM embeddings WHERE vec_id < 25 ORDER BY 1""".stripMargin,
+
+    "q_ann_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    cast(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_cosine_similarity(list_transform(a.embedding, x -> cast(x AS double)),
+        |                             list_transform(b.embedding, x -> cast(x AS double))) DESC,
+        |      b.vec_id) AS int) AS rank
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 25 AND b.vec_id <> a.vec_id) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_langid_ngram" ->
+      """WITH s AS (SELECT doc_id, ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ' AS s
+        |           FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, length(s) - 1), i -> s[i:i+2]) AS tris FROM s),
+        |n AS (SELECT doc_id,
+        |  len(list_filter(tris, t -> list_contains([' th','the','he ',' an','and','nd ',' of','of ','ing','ng ',' to','to ',' is','is ','ion',' it','it ','ent',' fo','for'], t))) AS en,
+        |  len(list_filter(tris, t -> list_contains([' de','der','er ','ie ',' un','und',' di','die','sch','ein',' ei','ich','ch ','en ','cht',' ni','nic','das',' da','st '], t))) AS de,
+        |  len(list_filter(tris, t -> list_contains([' le','le ',' de','de ','es ',' la','la ','ent',' et','et ','que',' qu','ue ','ous',' po','pou','our','ait','ion',' un'], t))) AS fr,
+        |  len(list_filter(tris, t -> list_contains([' el','el ',' de','de ','la ',' la','os ',' qu','que','ue ',' en','en ','ión',' co','con','ara',' pa','par','ado','los'], t))) AS es
+        |  FROM g)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+        |       WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |       WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |       ELSE 'es' END AS lang_ngram
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_media_features" ->
+      """SELECT doc_id * 10 + 1 AS media_id, doc_id,
+        |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  cast(octet_length(encode(text)) AS int) AS n_bytes,
+        |  cast(CASE cast(doc_id % 3 AS int)
+        |    WHEN 2 THEN greatest(1, (1000 + (doc_id % 60) * 250) // 1000)
+        |    WHEN 1 THEN greatest(1, (1000 + (doc_id % 60) * 250) // 500)
+        |    ELSE 1 END AS int) AS frames,
+        |  cast(16 AS int) AS n_dims
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_media_resize" ->
+      """SELECT doc_id * 10 + 1 AS media_id,
+        |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  cast(CASE WHEN doc_id % 3 = 0 THEN 64 ELSE 0 END AS int) AS width,
+        |  cast(CASE WHEN doc_id % 3 = 0 THEN 64 ELSE 0 END AS int) AS height,
+        |  cast(CASE WHEN doc_id % 3 = 0 THEN
+        |      greatest(1, trunc(octet_length(encode(text)) *
+        |        least(1.0, 4096.0 / ((64 + (doc_id % 8) * 32) * 64))))
+        |    ELSE octet_length(encode(text)) END AS int) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -44,6 +44,32 @@ object Bench {
     (sec, n / sec)
   }
 
+  /** Pure-CPU scaling ceiling of the host itself: the same fixed-work spin
+    * loop run on n1 then n2 threads. Anything above this is unreachable for
+    * ANY job on this box (hypervisor/SMT contention), so job scaling
+    * efficiency is reported alongside it for honest interpretation.
+    */
+  private def cpuCeiling(n1: Int, n2: Int): (Double, Double, Double) = {
+    def run(threads: Int): Double = {
+      val itersPerThread = 800000000L
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { seed =>
+        val t = new Thread(() => {
+          var x = seed.toLong | 1L
+          var i = 0L
+          while (i < itersPerThread) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          if (x == 42L) println("") // keep the loop un-eliminable
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      threads * itersPerThread / ((System.nanoTime() - t0) / 1e9)
+    }
+    val t1 = math.min(run(n1), run(n1))
+    val t2 = math.min(run(n2), run(n2))
+    (t1, t2, (t2 / t1) / (n2.toDouble / n1))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -82,6 +108,10 @@ object Bench {
 
     val sHigh = session(cpus)
     val (highSec, highTput) = timeExtract(sHigh, benchTurns, parts)
+    // full-ladder transparency: the N*4 -> cpus job efficiency AND the
+    // machine's own pure-CPU ceiling over the same pair (run after the
+    // Spark timings so the spin loop never co-runs with them)
+    val effMidHigh = (highTput / midTput) / (cpus.toDouble / (scaleN * 4))
 
     // ---- per-query wall clock on the sf tables ----
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -91,6 +121,8 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     sHigh.stop()
+
+    val (ceil1, ceil2, ceilEff) = cpuCeiling(scaleN * 4, cpus)
 
     def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = (results.map { case (k, v) => s""""$k":${f(v)}""" } ++ Seq(
@@ -102,6 +134,10 @@ object Bench {
       s""""turns_per_sec_${cpus}c":${f(highTput)}""",
       s""""scaling_efficiency":${f(efficiency)}""",
       s""""scaling_pair":"${scaleN}->${scaleN * 4}"""",
+      s""""scaling_efficiency_${scaleN * 4}_${cpus}":${f(effMidHigh)}""",
+      s""""cpu_ceiling_efficiency_${scaleN * 4}_${cpus}":${f(ceilEff)}""",
+      s""""cpu_ceiling_gops_${scaleN * 4}c":${f(ceil1 / 1e9)}""",
+      s""""cpu_ceiling_gops_${cpus}c":${f(ceil2 / 1e9)}""",
       s""""bench_turns":$benchTurns"""
     )).mkString("{", ",", "}")
 

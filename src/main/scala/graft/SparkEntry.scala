@@ -141,6 +141,64 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    "q_cube_orders" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_percentiles" -> ((s, dir) => {
+      // exact (interpolated) percentiles — not the approx sketch — so the
+      // oracle is DuckDB's quantile_cont
+      docs(s, dir).groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.25)").as("p25"),
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.75)").as("p75"),
+          count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_qty"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_dates" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_json_events" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+
     // ---- text analysis ----------------------------------------------------
     "q_docs_tokens" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -601,6 +659,47 @@ object SparkEntry {
 
     "q_html_strip_constructed" ->
       "SELECT doc_id, text || 's' AS plain FROM documents ORDER BY doc_id",
+
+    "q_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+        |  lag(l_quantity, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev_qty,
+        |  lead(l_quantity, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS next_qty
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_dates" ->
+      """SELECT o_orderkey,
+        |  cast(year(o_orderdate) AS bigint) AS y,
+        |  cast(month(o_orderdate) AS bigint) AS m,
+        |  cast(day(o_orderdate) AS bigint) AS d,
+        |  cast(o_orderdate AS date) + 30 AS plus30,
+        |  cast(datediff('day', date '1995-01-01', cast(o_orderdate AS date)) AS bigint) AS days_since
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q_json_events" ->
+      """SELECT event_id, cast(json_extract_string(props, '$.k') AS bigint) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_pipeline_extract" ->
       """WITH t AS (SELECT 'c' || cast(doc_id % 50 AS varchar) AS conv_id,

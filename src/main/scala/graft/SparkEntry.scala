@@ -387,6 +387,18 @@ object SparkEntry {
           sum(col("n_tags")).as("total_tags"))
     }),
 
+    "q_pipeline_offsets" -> ((s, dir) => {
+      // the packed escape-offsets column (pos<<32 | amount), exploded: only
+      // the escape variant (doc_id%5==4) produces shifts, at positions and
+      // amounts fixed by the reference's escape table
+      ExtractJob.extract(constructedTurns(s, dir)).toDF()
+        .select(col("conv_id"), col("turn_idx"), explode(col("offsets")).as("packed"))
+        .select(col("conv_id"), col("turn_idx"),
+          shiftrightunsigned(col("packed"), 32).cast("int").as("pos"),
+          col("packed").bitwiseAND(0xffffffffL).cast("int").as("amount"))
+        .orderBy("conv_id", "turn_idx", "pos")
+    }),
+
     "q_span_lineage" -> ((s, dir) => {
       SpanLineage.spanTable(constructedTurns(s, dir)).toDF()
         .orderBy("conv_id", "turn_idx", "out_begin")
@@ -746,6 +758,19 @@ object SparkEntry {
       """SELECT count(*) AS n_turns, cast(0 AS bigint) AS n_errors,
         |  cast(sum(CASE cast(doc_id % 5 AS int) WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 3 THEN 1 ELSE 0 END) AS bigint) AS total_tags
         |FROM documents""".stripMargin,
+
+    "q_pipeline_offsets" ->
+      """WITH t AS (SELECT 'c' || cast(doc_id % 50 AS varchar) AS conv_id,
+        |    cast(doc_id // 50 AS int) AS turn_idx, length(text) AS L
+        |  FROM documents WHERE doc_id % 5 = 4),
+        |o AS (
+        |  SELECT conv_id, turn_idx, L+1 AS pos, 3 AS amount FROM t UNION ALL
+        |  SELECT conv_id, turn_idx, L+2, 4 FROM t UNION ALL
+        |  SELECT conv_id, turn_idx, L+3, 3 FROM t UNION ALL
+        |  SELECT conv_id, turn_idx, L+5, 5 FROM t UNION ALL
+        |  SELECT conv_id, turn_idx, L+7, 5 FROM t)
+        |SELECT conv_id, turn_idx, cast(pos AS int) AS pos, cast(amount AS int) AS amount
+        |FROM o ORDER BY conv_id, turn_idx, pos""".stripMargin,
 
     "q_span_lineage" ->
       """WITH t AS (SELECT 'c' || cast(doc_id % 50 AS varchar) AS conv_id,

@@ -286,11 +286,17 @@ object SparkEntry {
       val e = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val planted = e.union(e.select((col("vec_id") + 100000).as("vec_id"),
-        transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v")))
+          transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v")))
+        // norms computed once per ROW (not per pair): the per-pair work is
+        // just the dot product — 3x fewer flops through the nested-loop join
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
       val queries = broadcast(planted.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("id_a"), col("v").as("qv")))
+        .select(col("vec_id").as("id_a"), col("v").as("qv"), col("nrm").as("qn")))
+      val dot = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
       queries.join(planted, col("id_a") < col("vec_id"))
-        .withColumn("sim", SimOps.cosine(col("qv"), col("v")))
+        .withColumn("sim", when(col("qn") === 0.0 || col("nrm") === 0.0, lit(0.0))
+          .otherwise(dot / (col("qn") * col("nrm"))))
         .filter(col("sim") > 0.99)
         .select(col("id_a"), col("vec_id").as("id_b"))
         .orderBy("id_a", "id_b")

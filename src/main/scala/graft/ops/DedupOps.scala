@@ -155,10 +155,9 @@ object DedupOps {
     * pairs are exact duplicates (jaccard 1 whenever the shingle set is
     * non-empty). Emits each pair once with id_a < id_b.
     */
-  private def expandGroups(repPairs: DataFrame, groups: DataFrame,
-                           reps: DataFrame, repSetSize: DataFrame): DataFrame = {
-    // groups: (id, fp); reps: (fp, rep); repSetSize: (rep, nsh)
-    val byRep = groups.join(reps, "fp").select(col("id"), col("rep"))
+  private def expandGroups(repPairs: DataFrame, byRep: DataFrame,
+                           repSetSize: DataFrame): DataFrame = {
+    // byRep: (id, rep); repSetSize: (rep, nsh)
     val cross = repPairs
       .join(byRep.select(col("rep").as("id_a"), col("id").as("ma")), "id_a")
       .join(byRep.select(col("rep").as("id_b"), col("id").as("mb")), "id_b")
@@ -194,9 +193,21 @@ object DedupOps {
     val skipped = spark.sparkContext.longAccumulator("graft.dedup.minhash.skippedCandidatePairs")
 
     val groups = df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
-    val reps = groups.groupBy("fp").agg(min(col("id")).as("rep"))
-    val repDocs = df.select(col(idCol).as("id"), col(textCol).as("t"))
-      .join(reps.select(col("rep").as("id")), Seq("id"))
+    // One fingerprint aggregate yields BOTH the fp→rep map and a
+    // representative text per group (any member works: fingerprint-equal
+    // texts normalize to the same token stream, hence identical shingles).
+    // The map-side partial min() collapses a duplicate cluster inside each
+    // input partition BEFORE the shuffle — the raw corpus text is never
+    // joined/shuffled wholesale.
+    val repAgg = df.select(TextOps.fingerprint(col(textCol)).as("fp"),
+        col(idCol).as("id"), col(textCol).as("txt"))
+      .groupBy("fp").agg(min(col("id")).as("rep"), min(col("txt")).as("t"))
+    val reps = repAgg.select(col("fp"), col("rep"))
+    val repDocs = repAgg.select(col("rep").as("id"), col("t"))
+    // (id → rep) is consumed four times by the pair expansion — cache the
+    // tiny id-pair map instead of recomputing its corpus-scan lineage
+    val byRep = groups.join(reps, "fp").select(col("id"), col("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val prepared = repDocs.select(col("id"),
         array_distinct(TextOps.shingles(col("t"), k)).as("sh"),
@@ -219,14 +230,15 @@ object DedupOps {
       .select("id_a", "id_b", "inter", "union", "jaccard")
 
     val repSetSize = prepared.select(col("id").as("rep"), size(col("sh")).as("nsh"))
-    val expanded = expandGroups(repPairs, groups, reps, repSetSize)
+    val expanded = expandGroups(repPairs, byRep, repSetSize)
 
     // Materialize into a pairs-only cache, then release the corpus-sized
-    // intermediate. The returned (small) frame owns its own cache; callers
+    // intermediates. The returned (small) frame owns its own cache; callers
     // release it with result.unpersist() when done.
     val result = expanded.persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
     prepared.unpersist(blocking = false)
+    byRep.unpersist(blocking = false)
     if (skipped.value > 0)
       org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
         s"minhashNearDups: bucket guard (maxBucket=$maxBucket) skipped ~${skipped.value} candidate pairs")
@@ -271,9 +283,14 @@ object DedupOps {
     val skipped = spark.sparkContext.longAccumulator("graft.dedup.simhash.skippedCandidatePairs")
 
     val groups = df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
-    val reps = groups.groupBy("fp").agg(min(col("id")).as("rep"))
-    val repDocs = df.select(col(idCol).as("id"), col(textCol).as("t"))
-      .join(reps.select(col("rep").as("id")), Seq("id"))
+    // same one-aggregate rep derivation as minhashNearDups: no corpus join
+    val repAgg = df.select(TextOps.fingerprint(col(textCol)).as("fp"),
+        col(idCol).as("id"), col(textCol).as("txt"))
+      .groupBy("fp").agg(min(col("id")).as("rep"), min(col("txt")).as("t"))
+    val reps = repAgg.select(col("fp"), col("rep"))
+    val repDocs = repAgg.select(col("rep").as("id"), col("t"))
+    val byRep = groups.join(reps, "fp").select(col("id"), col("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val sigs = repDocs.select(col("id"), simhash64(col("t")).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -289,7 +306,6 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
 
-    val byRep = groups.join(reps, "fp").select(col("id"), col("rep"))
     val cross = repPairs
       .join(byRep.select(col("rep").as("id_a"), col("id").as("ma")), "id_a")
       .join(byRep.select(col("rep").as("id_b"), col("id").as("mb")), "id_b")
@@ -302,6 +318,7 @@ object DedupOps {
     val result = cross.unionByName(within).persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
     sigs.unpersist(blocking = false)
+    byRep.unpersist(blocking = false)
     if (skipped.value > 0)
       org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
         s"simhashNearDups: bucket guard (maxBucket=$maxBucket) skipped ~${skipped.value} candidate pairs")

@@ -1,0 +1,73 @@
+package graft
+
+import graft.pipeline.{ExtractJob, SpanLineage}
+import graft.sources.TranscriptSource
+import org.apache.spark.sql.SparkSession
+
+/** Production launch entry for the extraction pipeline, run via
+  * spark-submit on a real cluster:
+  *
+  * {{{
+  * spark-submit --class graft.ExtractMain <jar> \
+  *   --in <path-or-table> --out <dir> \
+  *   [--format parquet|iceberg] [--markup bbcode|html] [--buckets N] \
+  *   [--date-from YYYY-MM-DD] [--date-to YYYY-MM-DD] \
+  *   [--lineage <dir>] [--spans <dir>]
+  * }}}
+  *
+  * Behavior: resumable bucket-committed write (re-running after any
+  * partial failure completes exactly the missing buckets), optional
+  * per-partition lineage table and span-lineage table, and one final JSON
+  * metrics line on stdout (rows, parse errors, wall seconds, turns/sec,
+  * completed buckets). Master/executors come from spark-submit — the job
+  * itself sets only job-shape configuration.
+  */
+object ExtractMain {
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    val in = a.getOrElse("in", sys.error("--in <path-or-table> is required"))
+    val out = a.getOrElse("out", sys.error("--out <dir> is required"))
+    val markup = a.getOrElse("markup", "bbcode").toLowerCase match {
+      case "html" => ExtractJob.Html
+      case _      => ExtractJob.BBCode
+    }
+    val buckets = a.getOrElse("buckets", "256").toInt
+
+    val spark = SparkSession.builder()
+      .appName("graft-extract")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+    val turns = TranscriptSource.read(spark, TranscriptSource.Config(
+      format = a.getOrElse("format", "parquet"),
+      location = in,
+      dateFrom = a.get("date-from"),
+      dateTo = a.get("date-to")))
+
+    val metrics = ExtractJob.newMetrics(spark)
+    val t0 = System.nanoTime()
+    val done = ExtractJob.runResumable(spark, turns, out, buckets = buckets,
+      cfg = ExtractJob.defaultCfg(markup), metrics = Some(metrics), markup = markup)
+
+    a.get("lineage").foreach { dir =>
+      ExtractJob.lineage(turns).write.mode("overwrite").parquet(dir)
+    }
+    a.get("spans").foreach { dir =>
+      SpanLineage.spanTable(turns, markup = markup)
+        .write.mode("overwrite").parquet(dir)
+    }
+
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rows = metrics.rows.value
+    def f(d: Double): String = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    println(s"""{"rows":$rows,"parse_errors":${metrics.errors.value},""" +
+      s""""wall_sec":${f(sec)},"turns_per_sec":${f(if (sec > 0) rows / sec else 0)},""" +
+      s""""completed_buckets":${done.size},"out":"$out"}""")
+    spark.stop()
+  }
+}

@@ -174,7 +174,8 @@ object ExtractJob {
   def runResumable(spark: SparkSession, turns: Dataset[Turn], outDir: String,
                    buckets: Int = 32,
                    cfg: Map[String, TagAttributes] = null,
-                   metrics: Option[Metrics] = None): Set[Int] = {
+                   metrics: Option[Metrics] = None,
+                   markup: Markup = BBCode): Set[Int] = {
     import spark.implicits._
     val path = new Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -191,7 +192,7 @@ object ExtractJob {
       else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
 
     val pending = remaining.select("conv_id", "turn_idx", "role", "text", "tool", "ts").as[Turn]
-    val out = extract(pending, cfg, metrics)
+    val out = extract(pending, cfg, metrics, markup)
       .withColumn("bucket", pmod(hash(col("conv_id")), lit(buckets)))
 
     out.write.mode(SaveMode.Append).partitionBy("bucket").parquet(outDir)

@@ -393,6 +393,22 @@ object SparkEntry {
           sum(col("n_tags")).as("total_tags"))
     }),
 
+    "q_html_main_content" -> ((s, dir) => {
+      // DOM-heuristic boilerplate removal: header/footer/script are elided,
+      // the link-farm menu div scores negative, the article (even-doc
+      // variant) or the full de-boilerplated page (odd) must surface
+      // exactly the original text — any nav/menu/footer leakage mismatches
+      val page = when(col("doc_id") % 2 === 0,
+        concat(lit("<html><body><header>Site Name</header><div class=\"m\">" +
+          "<a href=\"/a\">Home page link</a><a href=\"/b\">About us page link</a>" +
+          "<a href=\"/c\">Contact page link</a></div><article>"), col("text"),
+          lit("</article><footer>Copyright legal</footer></body></html>")))
+        .otherwise(concat(lit("<p>"), col("text"),
+          lit("</p><script>var x=1;</script><!-- note -->")))
+      docs(s, dir).select(col("doc_id"), Udfs.mainContent(page).as("main_text"))
+        .orderBy("doc_id")
+    }),
+
     "q_pipeline_offsets" -> ((s, dir) => {
       // the packed escape-offsets column (pos<<32 | amount), exploded: only
       // the escape variant (doc_id%5==4) produces shifts, at positions and
@@ -764,6 +780,9 @@ object SparkEntry {
       """SELECT count(*) AS n_turns, cast(0 AS bigint) AS n_errors,
         |  cast(sum(CASE cast(doc_id % 5 AS int) WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 3 THEN 1 ELSE 0 END) AS bigint) AS total_tags
         |FROM documents""".stripMargin,
+
+    "q_html_main_content" ->
+      "SELECT doc_id, text AS main_text FROM documents ORDER BY doc_id",
 
     "q_pipeline_offsets" ->
       """WITH t AS (SELECT 'c' || cast(doc_id % 50 AS varchar) AS conv_id,

@@ -39,6 +39,11 @@ object Udfs {
     if (s == null) 0 else BBCodeParser.parse(s, cfg).tagCount
   }
 
+  /** DOM-heuristic main-content extraction (readability-lite). */
+  val mainContent: UserDefinedFunction = udf { (s: String) =>
+    if (s == null) null else ContentExtract.mainContent(s)
+  }
+
   /** Count of tag/attribute offsets — the source-reconstruction metadata. */
   val bbcodeOffsetCount: UserDefinedFunction = udf { (s: String) =>
     if (s == null) 0 else BBCodeParser.parse(s, cfg).offsets.size
@@ -50,6 +55,7 @@ object Udfs {
     spark.udf.register("bbcode_to_html", bbcodeToHtml)
     spark.udf.register("escape_html", escapeHtml)
     spark.udf.register("bbcode_tag_count", bbcodeTagCount)
+    spark.udf.register("main_content", mainContent)
     spark.udf.register("bbcode_offset_count", bbcodeOffsetCount)
   }
 }

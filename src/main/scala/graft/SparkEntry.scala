@@ -192,6 +192,26 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30-min idle splits a user's event stream):
+      // the per-user window is the correct scale shape — session assignment
+      // is inherently order-dependent within a user, and per-user state is
+      // bounded; heavy users are a data property, not a plan defect
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session")
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .orderBy("user_id", "session")
+    }),
+
     "q_json_events" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"),
@@ -734,6 +754,21 @@ object SparkEntry {
     "q_json_events" ->
       """SELECT event_id, cast(json_extract_string(props, '$.k') AS bigint) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM g)
+        |SELECT user_id, cast(session AS bigint) AS session, count(*) AS n_events,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_pipeline_extract" ->
       """WITH t AS (SELECT 'c' || cast(doc_id % 50 AS varchar) AS conv_id,

@@ -37,6 +37,23 @@ object StreamingExtract {
       .groupBy(window(col("ts"), windowLen), col("conv_id"))
       .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("n_chars"))
 
+  /** Streaming exact dedup: drop turns whose normalized-content fingerprint
+    * already appeared within the watermark horizon — the streaming face of
+    * `DedupOps.exactDupRanks`. State is bounded by the watermark (expired
+    * fingerprints age out), which is what keeps the dedup store finite on
+    * an unbounded 10^12-turn stream.
+    */
+  def dedupStream(turns: Dataset[Turn], lateness: String = "10 minutes"): Dataset[Turn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.toDF()
+      .withColumn("fp", graft.ops.TextOps.fingerprint(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+      .as[Turn]
+  }
+
   /** Running per-conversation state: turn count, char count, last index —
     * custom state via `mapGroupsWithState` with a processing-time idle
     * timeout: a conversation that receives no turns for `idleTimeout` is

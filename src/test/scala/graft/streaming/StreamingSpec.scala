@@ -137,6 +137,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("n_turns")).max >= 1L)
   }
 
+  test("streaming dedup drops same-fingerprint turns across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.dedupStream(input.toDS(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(conv: String, i: Int, text: String, off: Long) =
+        Turn(conv, i, "user", text, "", new Timestamp(1700000000000L + off))
+      input.addData(t("c1", 0, "Hello  World", 0), t("c2", 0, "unique one", 1000))
+      q.processAllAvailable()
+      // same normalized content (case/whitespace differences) in a later
+      // batch within the watermark: must be dropped
+      input.addData(t("c3", 0, "hello world", 2000), t("c4", 0, "another new", 3000))
+      q.processAllAvailable()
+      q.stop()
+      val texts = spark.table("dedup_out").collect().map(_.getAs[String]("text")).sorted
+      assert(texts.toSeq == Seq("Hello  World", "another new", "unique one"), texts.mkString("|"))
+    } finally if (q.isActive) q.stop()
+  }
+
   test("watermarked windowed aggregation produces per-conversation counts") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -105,7 +105,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => HtmlStripExpr(args.head)),
     ("bbcode_tag_count_native",
       new ExpressionInfo(classOf[BBCodeTagCountExpr].getName, "bbcode_tag_count_native"),
-      (args: Seq[Expression]) => BBCodeTagCountExpr(args.head))
+      (args: Seq[Expression]) => BBCodeTagCountExpr(args.head)),
+    ("topk_by_score",
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (args: Seq[Expression]) => TopKByScore(args(0), args(1), args(2)))
   )
 
   /** Register on an existing session (temp functions). */

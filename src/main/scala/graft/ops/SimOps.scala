@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import scala.collection.mutable
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>), built to survive a 100 TB corpus:
@@ -50,45 +49,28 @@ object SimOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Distributed top-k per query without a global window.
+  /** Distributed top-k per query without a global window, built on the
+    * native bounded-heap aggregate [[graft.functions.TopKByScore]]
+    * (`topk_by_score`): O(k) state per group on BOTH the partial (map) and
+    * final (reduce) side, so ranking N scored rows per query shuffles only
+    * partitions×k pre-reduced pairs — plans as one ObjectHashAggregate
+    * with a partial stage (asserted in PlanSpec), no Dataset encoder hop,
+    * no `row_number` window. Ties break on the lower neighbor_id, matching
+    * a `row_number` over (sim desc, neighbor_id asc).
     *
-    * Input must have columns (query_id: long, neighbor_id: long, sim:
-    * double). Phase 1 (`mapPartitions`): one bounded heap per (partition,
-    * query) keeps the k best rows — the map-side combine `row_number` can't
-    * do. Phase 2: `groupBy(query_id)` over ≤ partitions×k rows per query,
-    * sorted/sliced with native array functions. Ties break on the lower
-    * neighbor_id, matching a `row_number` over (sim desc, neighbor_id asc).
+    * Input must have columns (query_id, neighbor_id: long-castable, sim:
+    * double-castable).
     */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    // Heap max (under worstFirst) = the row to evict: lowest sim, then
-    // highest neighbor_id.
-    val worstFirst: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
-    val partial = scored
+    graft.functions.GraftFunctions.register(scored.sparkSession)
+    scored
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
         col("sim").cast("double"))
-      .as[(Long, Long, Double)]
-      .mapPartitions { it =>
-        val heaps = mutable.HashMap.empty[Long, mutable.PriorityQueue[(Double, Long)]]
-        it.foreach { case (q, n, s) =>
-          val heap = heaps.getOrElseUpdate(q, mutable.PriorityQueue.empty(worstFirst))
-          if (heap.size < k) heap.enqueue((s, n))
-          else {
-            val (ws, wn) = heap.head
-            if (s > ws || (s == ws && n < wn)) { heap.dequeue(); heap.enqueue((s, n)) }
-          }
-        }
-        heaps.iterator.flatMap { case (q, heap) => heap.iterator.map(t => (q, t._2, t._1)) }
-      }
-      .toDF("query_id", "neighbor_id", "sim")
-    partial
       .groupBy("query_id")
-      .agg(slice(array_sort(collect_list(struct((-col("sim")).as("ns"),
-        col("neighbor_id").as("nid")))), 1, k).as("top"))
+      .agg(expr(s"topk_by_score(sim, neighbor_id, $k)").as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("query_id"), col("t.nid").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"), (-col("t.ns")).as("sim"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("t.score").as("sim"))
   }
 
   /** Exact brute-force cosine top-k: for each query row, the k nearest

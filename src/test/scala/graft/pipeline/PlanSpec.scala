@@ -112,8 +112,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         SimOps.ivfTopK(e.filter(col("vec_id") < 5), e, k = 2, nCells = 4, nprobe = 2))) {
       val s = df.queryExecution.executedPlan.toString()
       assert(!s.contains("Window"), s"global window in ANN plan:\n$s")
-      assert(s.contains("MapPartitions") || s.contains("mapPartitions"),
-        s"expected per-partition partial top-k stage:\n$s")
+      assert(s.contains("partial_topk_by_score"),
+        s"expected partial bounded-heap top-k aggregation stage:\n$s")
     }
   }
 

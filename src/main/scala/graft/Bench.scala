@@ -65,8 +65,10 @@ object Bench {
       ts.foreach(_.join())
       threads * itersPerThread / ((System.nanoTime() - t0) / 1e9)
     }
-    val t1 = math.min(run(n1), run(n1))
-    val t2 = math.min(run(n2), run(n2))
+    // best-of-two per level (throughput: higher is better), mirroring the
+    // best-run policy of the Spark timings
+    val t1 = math.max(run(n1), run(n1))
+    val t2 = math.max(run(n2), run(n2))
     (t1, t2, (t2 / t1) / (n2.toDouble / n1))
   }
 

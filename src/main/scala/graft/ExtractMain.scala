@@ -23,18 +23,23 @@ import org.apache.spark.sql.SparkSession
   * itself sets only job-shape configuration.
   */
 object ExtractMain {
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"arguments must be --flag value pairs, got: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+      case Array(k, v) => sys.error(s"expected a --flag, got '$k $v'")
     }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)
     val in = a.getOrElse("in", sys.error("--in <path-or-table> is required"))
     val out = a.getOrElse("out", sys.error("--out <dir> is required"))
     val markup = a.getOrElse("markup", "bbcode").toLowerCase match {
-      case "html" => ExtractJob.Html
-      case _      => ExtractJob.BBCode
+      case "html"   => ExtractJob.Html
+      case "bbcode" => ExtractJob.BBCode
+      case other    => sys.error(s"--markup must be bbcode or html, got '$other'")
     }
     val buckets = a.getOrElse("buckets", "256").toInt
 
@@ -54,15 +59,17 @@ object ExtractMain {
     val done = ExtractJob.runResumable(spark, turns, out, buckets = buckets,
       cfg = ExtractJob.defaultCfg(markup), metrics = Some(metrics), markup = markup)
 
+    // extraction throughput is measured over the extract phase only — the
+    // optional lineage/span sinks are separate full passes
+    val sec = (System.nanoTime() - t0) / 1e9
+
     a.get("lineage").foreach { dir =>
-      ExtractJob.lineage(turns).write.mode("overwrite").parquet(dir)
+      ExtractJob.lineage(turns, markup = markup).write.mode("overwrite").parquet(dir)
     }
     a.get("spans").foreach { dir =>
       SpanLineage.spanTable(turns, markup = markup)
         .write.mode("overwrite").parquet(dir)
     }
-
-    val sec = (System.nanoTime() - t0) / 1e9
     val rows = metrics.rows.value
     def f(d: Double): String = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     println(s"""{"rows":$rows,"parse_errors":${metrics.errors.value},""" +

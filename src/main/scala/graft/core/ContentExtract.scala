@@ -31,28 +31,6 @@ object ContentExtract {
       d.source(t.begin + 2) == '-' && d.source(t.begin + 3) == '-'
   }
 
-  /** (contentChars, linkChars) of a subtree, boilerplate elided. */
-  private def measure(n: Node, inLink: Boolean): (Int, Int) = n match {
-    case t: TextNode =>
-      if (isComment(t)) (0, 0)
-      else {
-        val len = t.length
-        (len, if (inLink) len else 0)
-      }
-    case t: TagNode =>
-      val name = if (t.name == null) null else TagAttributes.lookupKey(t.name)
-      if (name != null && boilerplate.contains(name)) (0, 0)
-      else {
-        val link = inLink || name == "a"
-        var c = 0; var l = 0
-        t.children.foreach { ch =>
-          val (cc, ll) = measure(ch, link)
-          c += cc; l += ll
-        }
-        (c, l)
-      }
-  }
-
   /** Append a subtree's non-boilerplate text to `build`. */
   private def emit(n: Node, build: java.lang.StringBuilder): Unit = n match {
     case t: TextNode => if (!isComment(t)) build.append(t.body)
@@ -61,36 +39,62 @@ object ContentExtract {
       if (name == null || !boilerplate.contains(name)) t.children.foreach(emit(_, build))
   }
 
-  /** The main-content text of a parsed HTML document. */
+  /** The main-content text of a parsed HTML document.
+    *
+    * Single post-order pass: each node returns its (contentChars,
+    * linkChars) with boilerplate elided; candidate containers are scored on
+    * the way up, ties broken toward the earliest pre-order candidate (the
+    * outermost/leftmost, with the document root first of all) — so scoring
+    * is O(nodes) regardless of container nesting depth.
+    */
   def mainContent(doc: Doc): String = {
     var bestScore = Long.MinValue
+    var bestIdx = Long.MaxValue // pre-order index of the best candidate
     var bestNode: Either[Doc, TagNode] = Left(doc)
+    var preorder = 0L
 
-    def consider(score: Long, tag: TagNode): Unit =
-      if (score > bestScore) { bestScore = score; bestNode = Right(tag) }
+    def consider(score: Long, idx: Long, tag: TagNode): Unit =
+      if (score > bestScore || (score == bestScore && idx < bestIdx)) {
+        bestScore = score; bestIdx = idx; bestNode = Right(tag)
+      }
 
-    // document root is the fallback candidate
+    // returns (contentChars, linkChars) of n's subtree
+    def walk(n: Node, inLink: Boolean): (Long, Long) = n match {
+      case t: TextNode =>
+        if (isComment(t)) (0L, 0L)
+        else { val len = t.length.toLong; (len, if (inLink) len else 0L) }
+      case t: TagNode =>
+        val idx = preorder
+        preorder += 1
+        val name = if (t.name == null) null else TagAttributes.lookupKey(t.name)
+        if (name != null && boilerplate.contains(name)) (0L, 0L)
+        else {
+          val link = inLink || name == "a"
+          var c = 0L; var l = 0L
+          t.children.foreach { ch =>
+            val (cc, ll) = walk(ch, link)
+            c += cc; l += ll
+          }
+          // a candidate's own score treats it as a fresh root (no inherited
+          // link context): all its text is content, link text only from
+          // <a> descendants within it
+          if (name != null && containers.contains(name)) {
+            val ownL = if (inLink) c else l // under an <a>, everything is link text
+            consider(2L * c - 3L * ownL, idx, t)
+          }
+          (c, l)
+        }
+      case _ => (0L, 0L)
+    }
+
     var rootC = 0L; var rootL = 0L
     doc.children.foreach { ch =>
-      val (c, l) = measure(ch, inLink = false)
+      val (c, l) = walk(ch, inLink = false)
       rootC += c; rootL += l
     }
-    bestScore = 2 * rootC - 3 * rootL
-
-    def walk(n: Node): Unit = n match {
-      case t: TagNode =>
-        val name = if (t.name == null) null else TagAttributes.lookupKey(t.name)
-        if (name != null && boilerplate.contains(name)) () // prune
-        else {
-          if (name != null && containers.contains(name)) {
-            val (c, l) = measure(t, inLink = false)
-            consider(2L * c - 3L * l, t)
-          }
-          t.children.foreach(walk)
-        }
-      case _ =>
-    }
-    doc.children.foreach(walk)
+    // the document root is the fallback candidate and wins all ties
+    val rootScore = 2 * rootC - 3 * rootL
+    if (rootScore >= bestScore) { bestScore = rootScore; bestNode = Left(doc) }
 
     val build = new java.lang.StringBuilder(64)
     bestNode match {

@@ -108,7 +108,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => BBCodeTagCountExpr(args.head)),
     ("topk_by_score",
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
-      (args: Seq[Expression]) => TopKByScore(args(0), args(1), args(2)))
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"topk_by_score(score, id, k) takes 3 arguments, got ${args.length}")
+        TopKByScore(args(0), args(1), args(2))
+      })
   )
 
   /** Register on an existing session (temp functions). */

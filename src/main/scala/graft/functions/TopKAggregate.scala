@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -15,8 +15,13 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  // Total order via Double.compare (NaN sorts greatest, matching Spark's
+  // window ordering, and never wedges the heap); -0.0 is normalized to 0.0
+  // at insertion so it ties with 0.0 exactly as SQL comparisons do.
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   private def siftDown(i0: Int): Unit = {
     var i = i0
@@ -44,22 +49,27 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
-  def add(score: Double, id: Long): Unit =
+  def add(score0: Double, id: Long): Unit = {
+    val score = if (score0 == 0.0) 0.0 else score0 // normalize -0.0
     if (n < k) {
       scores(n) = score; ids(n) = id; n += 1; siftUp(n - 1)
     } else if (k > 0 && worse(scores(0), ids(0), score, id)) {
       scores(0) = score; ids(0) = id; siftDown(0)
     }
+  }
 
   def mergeFrom(other: TopKBuffer): Unit = {
     var i = 0
     while (i < other.n) { add(other.scores(i), other.ids(i)); i += 1 }
   }
 
-  /** (id, score) pairs sorted best-first. */
+  /** (id, score) pairs sorted best-first (Double.compare total order). */
   def sorted: Array[(Long, Double)] = {
     val out = Array.tabulate(n)(i => (ids(i), scores(i)))
-    out.sortBy { case (id, s) => (-s, id) }
+    out.sortWith { case ((i1, s1), (i2, s2)) =>
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
   }
 }
 
@@ -80,7 +90,7 @@ case class TopKByScore(
     kExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[TopKBuffer] {
+) extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
 
   private lazy val k: Int = {
     require(kExpr.foldable, "topk_by_score: k must be a literal")
@@ -90,6 +100,7 @@ case class TopKByScore(
   }
 
   override def children: Seq[Expression] = Seq(score, id, kExpr)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType, IntegerType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(new StructType()
     .add("id", LongType, nullable = false)

@@ -106,9 +106,9 @@ object DedupOps {
         val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
         skippedPairs.foreach { acc =>
           sizes.filter(col("bsize") > maxBucket)
-            .select(sum(col("bsize") * (col("bsize") - 1) / 2))
-            .collect().headOption.flatMap(r => Option(r.get(0)))
-            .foreach(v => acc.add(v.toString.toLong))
+            .select(sum((col("bsize") * (col("bsize") - 1) / 2).cast("long")).cast("long"))
+            .collect().headOption.filterNot(_.isNullAt(0))
+            .foreach(r => acc.add(r.getLong(0)))
         }
         banded.join(sizes.filter(col("bsize") <= maxBucket), Seq("band", "bucket"))
           .drop("bsize")
@@ -123,6 +123,11 @@ object DedupOps {
   /** LSH candidate pairs: band the signature into `bands` groups of
     * `numHashes/bands` rows, bucket-join on (band, band-hash), emit unique
     * id pairs. Only ids and 8-byte band hashes shuffle.
+    *
+    * Note: this utility recomputes the signature lineage per plan subtree
+    * (identical subtrees dedupe via exchange reuse); for guarded or
+    * repeated use, prefer [[minhashNearDups]], which persists the
+    * signature stage.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -149,29 +154,25 @@ object DedupOps {
       .select("id_a", "id_b", "inter", "union", "jaccard")
   }
 
-  /** Expand representative-level pairs back to full id pairs using the
-    * fingerprint groups: cross-group pairs inherit the rep pair's metrics
-    * (identical normalized text ⇒ identical shingle sets); within-group
-    * pairs are exact duplicates (jaccard 1 whenever the shingle set is
-    * non-empty). Emits each pair once with id_a < id_b.
+  /** Expand representative-level pairs to full id pairs across fingerprint
+    * groups, carrying the rep pair's metric columns (identical normalized
+    * text ⇒ identical shingle sets/signatures). Emits id_a < id_b.
     */
-  private def expandGroups(repPairs: DataFrame, byRep: DataFrame,
-                           repSetSize: DataFrame): DataFrame = {
-    // byRep: (id, rep); repSetSize: (rep, nsh)
-    val cross = repPairs
+  private def expandCross(repPairs: DataFrame, byRep: DataFrame,
+                          carry: Seq[String]): DataFrame =
+    repPairs
       .join(byRep.select(col("rep").as("id_a"), col("id").as("ma")), "id_a")
       .join(byRep.select(col("rep").as("id_b"), col("id").as("mb")), "id_b")
-      .select(least(col("ma"), col("mb")).as("id_a"), greatest(col("ma"), col("mb")).as("id_b"),
-        col("inter"), col("union"), col("jaccard"))
-    val within = byRep.as("x").join(byRep.as("y"),
+      .select(least(col("ma"), col("mb")).as("id_a") +:
+        greatest(col("ma"), col("mb")).as("id_b") +: carry.map(col): _*)
+
+  /** All (id_a < id_b, rep) pairs within each fingerprint group — exact
+    * duplicates by construction.
+    */
+  private def withinGroupPairs(byRep: DataFrame): DataFrame =
+    byRep.as("x").join(byRep.as("y"),
         col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("x.rep").as("rep"))
-      .join(repSetSize, "rep")
-      .filter(col("nsh") > 0)
-      .select(col("id_a"), col("id_b"), col("nsh").as("inter"), col("nsh").as("union"),
-        lit(1.0).as("jaccard"))
-    cross.unionByName(within)
-  }
 
   /** Full MinHash-LSH near-dup pipeline: exact-dedup collapse → LSH
     * candidates over representatives → exact-Jaccard verify → expand back
@@ -229,8 +230,16 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "union", "jaccard")
 
+    // within-group pairs are exact duplicates: jaccard 1 whenever the
+    // shingle set is non-empty
     val repSetSize = prepared.select(col("id").as("rep"), size(col("sh")).as("nsh"))
-    val expanded = expandGroups(repPairs, byRep, repSetSize)
+    val within = withinGroupPairs(byRep)
+      .join(repSetSize, "rep")
+      .filter(col("nsh") > 0)
+      .select(col("id_a"), col("id_b"), col("nsh").as("inter"), col("nsh").as("union"),
+        lit(1.0).as("jaccard"))
+    val expanded = expandCross(repPairs, byRep, Seq("inter", "union", "jaccard"))
+      .unionByName(within)
 
     // Materialize into a pairs-only cache, then release the corpus-sized
     // intermediates. The returned (small) frame owns its own cache; callers
@@ -306,14 +315,9 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
 
-    val cross = repPairs
-      .join(byRep.select(col("rep").as("id_a"), col("id").as("ma")), "id_a")
-      .join(byRep.select(col("rep").as("id_b"), col("id").as("mb")), "id_b")
-      .select(least(col("ma"), col("mb")).as("id_a"), greatest(col("ma"), col("mb")).as("id_b"),
-        col("hamming"))
-    val within = byRep.as("x").join(byRep.as("y"),
-        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), lit(0).as("hamming"))
+    val cross = expandCross(repPairs, byRep, Seq("hamming"))
+    val within = withinGroupPairs(byRep)
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
 
     val result = cross.unionByName(within).persist(StorageLevel.MEMORY_AND_DISK)
     result.count()

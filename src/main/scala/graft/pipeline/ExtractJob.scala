@@ -122,18 +122,22 @@ object ExtractJob {
     }
   }
 
-  /** Per-partition lineage rows (for a lineage sink table). */
+  /** Per-partition lineage rows (for a lineage sink table). `cfg = null`
+    * resolves per markup dialect, as in [[extract]].
+    */
   def lineage(turns: Dataset[Turn],
-              cfg: Map[String, TagAttributes] = TagAttributes.bbcodeCanonical): Dataset[PartitionStat] = {
+              cfg: Map[String, TagAttributes] = null,
+              markup: Markup = BBCode): Dataset[PartitionStat] = {
     val spark = turns.sparkSession
     import spark.implicits._
+    val resolvedCfg = if (cfg != null) cfg else defaultCfg(markup)
     turns.mapPartitions { iter =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val t0 = System.nanoTime()
       var n = 0L
       var errs = 0L
       while (iter.hasNext) {
-        val r = extractTurn(iter.next(), cfg)
+        val r = extractTurn(iter.next(), resolvedCfg, markup)
         n += 1
         if (r.parse_error != null) errs += 1
       }

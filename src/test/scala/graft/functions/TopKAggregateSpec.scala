@@ -58,6 +58,33 @@ class TopKAggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("implicit input casts: int score and int id columns work from SQL") {
+    val tiny = spark.createDataFrame(Seq((1, 10, 5), (1, 11, 9))).toDF("q", "n", "cnt")
+    tiny.createOrReplaceTempView("intcols_topk")
+    val r = spark.sql("SELECT topk_by_score(cnt, n, 2) FROM intcols_topk GROUP BY q")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(x => (x.getLong(0), x.getDouble(1))) == Seq((11L, 9.0), (10L, 5.0)))
+  }
+
+  test("NaN scores never wedge the heap (NaN sorts greatest, like window order)") {
+    val rows = Seq((1L, 1L, Double.NaN), (1L, 2L, 0.5), (1L, 3L, 0.9), (1L, 4L, 0.1))
+    spark.createDataFrame(rows).toDF("query_id", "neighbor_id", "sim").repartition(3)
+      .createOrReplaceTempView("nan_topk")
+    val r = spark.sql("SELECT topk_by_score(sim, neighbor_id, 2) FROM nan_topk GROUP BY query_id")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    // NaN ranks first (greatest), then 0.9 — the 0.9 row must not be blocked
+    assert(r.map(_.getLong(0)) == Seq(1L, 3L), r.mkString("|"))
+  }
+
+  test("wrong arity fails analysis with a clear message") {
+    spark.createDataFrame(Seq((1L, 2L, 0.5))).toDF("q", "n", "s")
+      .createOrReplaceTempView("arity_topk")
+    val e = intercept[Exception] {
+      spark.sql("SELECT topk_by_score(s, n) FROM arity_topk GROUP BY q").collect()
+    }
+    assert(e.getMessage.contains("3 arguments") || e.getMessage.contains("topk_by_score"))
+  }
+
   test("fewer rows than k, and k=1") {
     val tiny = spark.createDataFrame(Seq((1L, 10L, 0.5), (1L, 11L, 0.9))).toDF("query_id", "neighbor_id", "sim")
     tiny.createOrReplaceTempView("tiny_topk")

@@ -189,6 +189,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sec < 120, s"dedup-first run took ${sec}s — band join likely exploded")
   }
 
+  test("bucket guard accounting: tripping the guard in minhashNearDups completes and logs") {
+    // 40 near-identical (NOT fingerprint-equal) docs form residual hot
+    // buckets that survive dedup-first; a tiny cap must trip the skipped-
+    // pair accounting path without crashing (regression: the sum used to
+    // come back as a Double and blow up toString.toLong)
+    val hot = (0 until 40).map(i => (5000L + i, s"the same boilerplate sentence repeated $i"))
+    val df = docsDf.union(spark.createDataFrame(hot).toDF("doc_id", "text"))
+    val pairs = DedupOps.minhashNearDups(df, "doc_id", "text", threshold = 0.7, maxBucket = 5)
+    pairs.count() // must not throw
+    pairs.unpersist()
+  }
+
   test("bucket guard drops oversized residual buckets, keeps small ones") {
     // 40 docs with the same single shingle-ish text land in one hot bucket
     val hot = (0 until 40).map(i => (5000L + i, s"common phrase here unique$i"))

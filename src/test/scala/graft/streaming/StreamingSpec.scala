@@ -159,6 +159,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally if (q.isActive) q.stop()
   }
 
+  test("streaming dedup keeps distinct null-text turns (null keys must not collapse)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("dedup_null_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Turn("c1", 0, "user", null, "", new Timestamp(1700000000000L)),
+        Turn("c2", 0, "user", null, "", new Timestamp(1700000001000L)))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("dedup_null_out").count() == 2)
+    } finally if (q.isActive) q.stop()
+  }
+
   test("watermarked windowed aggregation produces per-conversation counts") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -280,6 +280,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_vocab_top" -> ((s, dir) => {
+      // vocabulary building for tokenizer training: explode tokens, count,
+      // rank — partial aggregation collapses token counts map-side, so the
+      // shuffle carries distinct tokens per partition, not the token stream
+      docs(s, dir)
+        .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(50)
+    }),
+
     "q_docs_rollhash" -> ((s, dir) => {
       // polynomial rolling hash over code points, mod 1e9+7, seed 7
       docs(s, dir).select(col("doc_id"),
@@ -646,6 +658,12 @@ object SparkEntry {
       """SELECT doc_id,
         |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bigint) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_top" ->
+      """SELECT token, count(*) AS freq
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents WHERE trim(text) <> '')
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
 
     "q_docs_rollhash" ->
       """SELECT doc_id,

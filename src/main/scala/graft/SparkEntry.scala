@@ -387,6 +387,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_strip_native_expr" -> ((s, dir) => {
+      // the same constructed strip, but through the registered native
+      // Catalyst expression (codegen path) instead of the UDF wrapper —
+      // puts the SparkSessionExtensions surface under the DuckDB oracle
+      graft.functions.GraftFunctions.register(s)
+      docs(s, dir).select(col("doc_id"),
+          expr("bbcode_strip_native(concat('[b]', text, '[/b] [list][*]', text, '[*]tail[/list]'))")
+            .as("plain"))
+        .orderBy("doc_id")
+    }),
+
     "q_html_strip_constructed" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
           Udfs.stripHtml(concat(lit("<div class=\"x\">"), col("text"),
@@ -731,6 +742,9 @@ object SparkEntry {
 
     "q_html_strip_constructed" ->
       "SELECT doc_id, text || 's' AS plain FROM documents ORDER BY doc_id",
+
+    "q_strip_native_expr" ->
+      "SELECT doc_id, text || ' ' || text || 'tail' AS plain FROM documents ORDER BY doc_id",
 
     "q_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,

@@ -293,10 +293,12 @@ object SparkEntry {
     }),
 
     "q_docs_rollhash" -> ((s, dir) => {
-      // polynomial rolling hash over code points, mod 1e9+7, seed 7
+      // polynomial rolling hash over code points, mod 1e9+7, seed 7 — the
+      // native codegen expression (one pass, no per-char array); the SQL
+      // oracle spells out the same recurrence in DuckDB lambdas
+      graft.functions.GraftFunctions.register(s)
       docs(s, dir).select(col("doc_id"),
-          expr("aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))), " +
-            "7L, (acc, x) -> (acc * 31 + x) % 1000000007)").as("rollhash"))
+          expr("rollhash_native(text)").as("rollhash"))
         .orderBy("doc_id")
     }),
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helpers invoked from generated code (top-level Scala objects get
@@ -27,6 +27,23 @@ object NativeImpl {
 
   def tagCount(s: UTF8String): Int =
     BBCodeParser.parse(s.toString, cfg).tagCount
+
+  /** Polynomial rolling hash over Unicode code points, mod 1e9+7, seed 7 —
+    * the document-fingerprinting primitive, equivalent to the SQL
+    * `aggregate(transform(sequence(...), ascii(substr(...))), 7, ...)`
+    * expression but one pass with no per-char array materialization.
+    */
+  def rollhash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 7L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
 }
 
 /** Native Catalyst expressions for the core transforms. Compared to a Scala
@@ -69,6 +86,17 @@ case class HtmlStripExpr(child: Expression) extends CoreStringExpression {
     copy(child = newChild)
 }
 
+case class RollHashExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = NativeImpl.rollhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeImpl.rollhash($c)")
+  override def prettyName: String = "rollhash"
+  override protected def withNewChildInternal(newChild: Expression): RollHashExpr =
+    copy(child = newChild)
+}
+
 case class BBCodeTagCountExpr(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = IntegerType
@@ -106,6 +134,9 @@ object GraftFunctions {
     ("bbcode_tag_count_native",
       new ExpressionInfo(classOf[BBCodeTagCountExpr].getName, "bbcode_tag_count_native"),
       (args: Seq[Expression]) => BBCodeTagCountExpr(args.head)),
+    ("rollhash_native",
+      new ExpressionInfo(classOf[RollHashExpr].getName, "rollhash_native"),
+      (args: Seq[Expression]) => RollHashExpr(args.head)),
     ("topk_by_score",
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
       (args: Seq[Expression]) => {

@@ -64,6 +64,24 @@ class SpanLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n > 5100)
   }
 
+  test("spans with an escape transform map input spans to ESCAPED output spans") {
+    import graft.core.Transform
+    val in = "[b]a<b[/b] \"q\"&r"
+    val (out, spans) = SpanLineage.stripSpans(in, TagAttributes.bbcodeCanonical,
+      fn = Transform.htmlEscapePlain)
+    assert(out == "a&lt;b &quot;q&quot;&amp;r")
+    var cursor = 0
+    spans.foreach { case (nb, ne, ob, oe) =>
+      assert(ob == cursor)
+      // each output slice is the ESCAPED form of its input slice
+      val doc = new graft.core.Doc(in.toCharArray)
+      val tn = new graft.core.TextNode(doc, null, nb, ne)
+      assert(out.substring(ob, oe) == Transform.htmlEscapePlain(tn, in.substring(nb, ne)))
+      cursor = oe
+    }
+    assert(cursor == out.length)
+  }
+
   test("spanTable (distributed) equals core stripSpans per turn") {
     val turns = TranscriptGen.turns(spark, 2000, seed = 42, partitions = 8)
     val rows = SpanLineage.spanTable(turns).collect()

@@ -38,21 +38,19 @@ class ContentExtractSpec extends AnyFunSuite {
     assert(ContentExtract.mainContent(html) == ContentExtract.mainContent(html))
   }
 
-  test("real 60 KB github.com page: non-empty, no script/style payload, subset of full strip") {
+  test("real 60 KB github.com page: non-empty, script-free, narrower than the full strip") {
     val in = getClass.getResourceAsStream("/htmlgolden/github.com.html")
     require(in != null)
-    val html = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val html = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val main = ContentExtract.mainContent(html)
     assert(main.nonEmpty)
     // script/style bodies that ARE present in the raw page must be elided
     assert(!main.contains("function("), main.take(200))
-    // the winner's text is a substring-set of the full non-boilerplate strip
-    val doc = HtmlParser.parse(html, Map.empty)
-    val full = Transform.textTransform(doc)
+    // the winner is a proper subset of the full strip (which keeps script
+    // bodies and nav text), and every chunk of the winner's text appears in
+    // the page verbatim
+    val full = Transform.textTransform(HtmlParser.parse(html, Map.empty))
     assert(main.length < full.length)
-    // and the extraction is strictly less link-dense than the whole page:
-    // count anchor text chars in main vs page (heuristic sanity, exact
-    // numbers pinned by determinism test above)
-    assert(ContentExtract.mainContent(html) == main)
+    assert(main.split("\\s+").filter(_.nonEmpty).take(20).forall(html.contains))
   }
 }

@@ -54,6 +54,30 @@ class NativeExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rollhash_native: recurrence parity, empty string = seed, code points, null") {
+    val s = spark; import s.implicits._
+    def expected(t: String): Long = {
+      var h = 7L
+      var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        h = (h * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    // empty string hashes to the seed (the DuckDB oracle's definition:
+    // range(1,1) is empty); supplementary char counts as ONE code point
+    val cases = Seq("", "a", "hello world", "a😀b", "x" * 500)
+    val df = cases.toDF("t")
+    df.createOrReplaceTempView("rh_samples")
+    val rows = spark.sql("SELECT t, rollhash_native(t) FROM rh_samples").collect()
+    rows.foreach(r => assert(r.getLong(1) == expected(r.getString(0)), s"'${r.getString(0).take(20)}'"))
+    assert(expected("") == 7L)
+    // null propagates
+    assert(spark.sql("SELECT rollhash_native(cast(NULL AS string))").head().isNullAt(0))
+  }
+
   test("expression survives codegen and constant folding") {
     val df = spark.sql("SELECT bbcode_strip_native('[b]x[/b]') AS s")
     assert(df.head().getString(0) == "x")

@@ -280,6 +280,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_docs_repetition" -> ((s, dir) => {
+      // repetition signals (Gopher-style): duplicate bigram mass is the
+      // cheap detector for looping/boilerplate text; all integer-exact
+      val sh2 = TextOps.shingles(col("text"), 2)
+      docs(s, dir).select(col("doc_id"),
+          size(sh2).cast("long").as("n_bigrams"),
+          size(array_distinct(sh2)).cast("long").as("n_distinct_bigrams"),
+          (TextOps.tokenCount(col("text")) - TextOps.distinctTokenCount(col("text")))
+            .cast("long").as("n_repeated_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_docs_filter_flags" -> ((s, dir) => {
+      // pretraining-corpus filter rules as exact booleans: too short, low
+      // stopword density, symbol-heavy, repetitive — and the composite keep
+      val nTok = TextOps.tokenCount(col("text"))
+      val sh2 = TextOps.shingles(col("text"), 2)
+      val tooShort = nTok < 24
+      val lowStop = TextOps.stopwordCount(col("text")) * 20 < nTok
+      val symbolHeavy = TextOps.punctCount(col("text")) * 5 > length(col("text"))
+      val repetitive = (size(sh2) - size(array_distinct(sh2))) * 4 > size(sh2)
+      docs(s, dir).select(col("doc_id"),
+          tooShort.as("too_short"), lowStop.as("low_stopword"),
+          symbolHeavy.as("symbol_heavy"), repetitive.as("repetitive"),
+          (!tooShort && !lowStop && !symbolHeavy && !repetitive).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "q_vocab_top" -> ((s, dir) => {
       // vocabulary building for tokenizer training: explode tokens, count,
       // rank — partial aggregation collapses token counts map-side, so the
@@ -671,6 +699,42 @@ object SparkEntry {
       """SELECT doc_id,
         |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bigint) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_docs_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS varchar[])
+        |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS bi
+        |  FROM t)
+        |SELECT doc_id,
+        |  cast(len(bi) AS bigint) AS n_bigrams,
+        |  cast(len(list_distinct(bi)) AS bigint) AS n_distinct_bigrams,
+        |  cast(len(toks) - len(list_distinct(toks)) AS bigint) AS n_repeated_tokens
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_docs_filter_flags" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, text, toks,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS varchar[])
+        |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS bi,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        |  FROM t)
+        |SELECT doc_id,
+        |  len(toks) < 24 AS too_short,
+        |  n_stop * 20 < len(toks) AS low_stopword,
+        |  n_punct * 5 > length(text) AS symbol_heavy,
+        |  (len(bi) - len(list_distinct(bi))) * 4 > len(bi) AS repetitive,
+        |  NOT (len(toks) < 24) AND NOT (n_stop * 20 < len(toks))
+        |    AND NOT (n_punct * 5 > length(text))
+        |    AND NOT ((len(bi) - len(list_distinct(bi))) * 4 > len(bi)) AS keep
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_vocab_top" ->
       """SELECT token, count(*) AS freq

@@ -72,9 +72,17 @@ object ExtractMain {
     }
     val rows = metrics.rows.value
     def f(d: Double): String = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // JSON-escape the user-supplied path (quotes/backslashes/control chars
+    // would otherwise produce an unparseable metrics line)
+    val outJson = out.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     println(s"""{"rows":$rows,"parse_errors":${metrics.errors.value},""" +
       s""""wall_sec":${f(sec)},"turns_per_sec":${f(if (sec > 0) rows / sec else 0)},""" +
-      s""""completed_buckets":${done.size},"out":"$out"}""")
+      s""""completed_buckets":${done.size},"out":"$outJson"}""")
     spark.stop()
   }
 }

@@ -282,26 +282,43 @@ object SparkEntry {
 
     "q_docs_repetition" -> ((s, dir) => {
       // repetition signals (Gopher-style): duplicate bigram mass is the
-      // cheap detector for looping/boilerplate text; all integer-exact
-      val sh2 = TextOps.shingles(col("text"), 2)
-      docs(s, dir).select(col("doc_id"),
+      // cheap detector for looping/boilerplate text; all integer-exact.
+      // The token array and bigram array are materialized as columns so
+      // each is computed once per row — spliced tokenizer expressions
+      // inside higher-order lambdas re-evaluate per element (O(tokens²))
+      val sh2 = col("sh2")
+      docs(s, dir)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("ltoks", TextOps.tokens(lower(col("text"))))
+        .withColumn("sh2", TextOps.shinglesOf(col("ltoks"), 2))
+        .select(col("doc_id"),
           size(sh2).cast("long").as("n_bigrams"),
           size(array_distinct(sh2)).cast("long").as("n_distinct_bigrams"),
-          (TextOps.tokenCount(col("text")) - TextOps.distinctTokenCount(col("text")))
+          (size(col("toks")) - size(array_distinct(col("ltoks"))))
             .cast("long").as("n_repeated_tokens"))
         .orderBy("doc_id")
     }),
 
     "q_docs_filter_flags" -> ((s, dir) => {
       // pretraining-corpus filter rules as exact booleans: too short, low
-      // stopword density, symbol-heavy, repetitive — and the composite keep
-      val nTok = TextOps.tokenCount(col("text"))
-      val sh2 = TextOps.shingles(col("text"), 2)
+      // stopword density, symbol-heavy, repetitive — and the composite
+      // keep. All signals come off materialized token/bigram columns (one
+      // tokenizer pass per row; see q_docs_repetition)
+      val nTok = col("n_tok")
       val tooShort = nTok < 24
-      val lowStop = TextOps.stopwordCount(col("text")) * 20 < nTok
-      val symbolHeavy = TextOps.punctCount(col("text")) * 5 > length(col("text"))
-      val repetitive = (size(sh2) - size(array_distinct(sh2))) * 4 > size(sh2)
-      docs(s, dir).select(col("doc_id"),
+      val lowStop = col("n_stop") * 20 < nTok
+      val symbolHeavy = col("n_punct") * 5 > length(col("text"))
+      val repetitive = (col("n_bi") - col("n_dbi")) * 4 > col("n_bi")
+      docs(s, dir)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("ltoks", TextOps.tokens(lower(col("text"))))
+        .withColumn("sh2", TextOps.shinglesOf(col("ltoks"), 2))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_stop", TextOps.stopwordCountOf(col("ltoks")))
+        .withColumn("n_punct", TextOps.punctCount(col("text")))
+        .withColumn("n_bi", size(col("sh2")))
+        .withColumn("n_dbi", size(array_distinct(col("sh2"))))
+        .select(col("doc_id"),
           tooShort.as("too_short"), lowStop.as("low_stopword"),
           symbolHeavy.as("symbol_heavy"), repetitive.as("repetitive"),
           (!tooShort && !lowStop && !symbolHeavy && !repetitive).as("keep"))
@@ -499,6 +516,14 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx", "out_begin")
     }),
 
+    "q_span_lineage_render" -> ((s, dir) => {
+      // render-path lineage: text-node input spans mapped into the FINAL
+      // rendered HTML (the FreeMarkerTransformer consumer half); output
+      // positions account for renderer wrapping and escape growth
+      SpanLineage.renderSpanTable(constructedTurns(s, dir)).toDF()
+        .orderBy("conv_id", "turn_idx", "out_begin")
+    }),
+
     // ---- near-dup detection (exact oracle: organic planted near-dups) -----
     "q_dedup_minhash" -> ((s, dir) => {
       // documents carries driver-planted near-dups: organic jaccard is
@@ -568,6 +593,16 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           length(col("payload")).as("n_bytes"))
         .orderBy("media_id")
+    }),
+
+    "q_media_frames" -> ((s, dir) => {
+      // frame sampling (explode-shaped stage): every 2nd chunk of each
+      // video payload; chunk arithmetic is pure integer math, mirrored in
+      // the SQL oracle
+      MediaOps.sampleFrames(MediaOps.synthesize(docs(s, dir)))
+        .select(col("media_id"), col("doc_id"), col("frame_idx"),
+          length(col("frame_payload")).cast("long").as("n_bytes"))
+        .orderBy("media_id", "frame_idx")
     }),
 
     // ---- realistic generated-markup pipeline (non-SQL-expressible) --------
@@ -946,6 +981,24 @@ object SparkEntry {
         |  FROM t WHERE v = 1)
         |ORDER BY conv_id, turn_idx, out_begin""".stripMargin,
 
+    "q_span_lineage_render" ->
+      """WITH t AS (SELECT 'c' || cast(doc_id % 50 AS varchar) AS conv_id,
+        |    cast(doc_id // 50 AS int) AS turn_idx,
+        |    cast(doc_id % 5 AS int) AS v, length(text) AS L,
+        |    length('<pre style="margin: 5px 15px 5px 15px; border: 1px dashed #2f6fab; font-family: monospace; padding: 3px 5px 3px 5px; background-color: #f9f9f9;">') AS pre
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT conv_id, turn_idx,
+        |    cast(CASE v WHEN 0 THEN 3 WHEN 1 THEN 9 WHEN 3 THEN 6 ELSE 0 END AS int) AS node_begin,
+        |    cast(CASE v WHEN 0 THEN 3+L WHEN 1 THEN 9+L WHEN 2 THEN L+3 WHEN 3 THEN 6+L ELSE L+8 END AS int) AS node_end,
+        |    cast(CASE v WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 0 WHEN 3 THEN pre ELSE 0 END AS int) AS out_begin,
+        |    cast(CASE v WHEN 0 THEN 8+L WHEN 1 THEN 8+L WHEN 2 THEN L+3 WHEN 3 THEN pre+L ELSE L+28 END AS int) AS out_end
+        |  FROM t
+        |  UNION ALL
+        |  SELECT conv_id, turn_idx, cast(L+12 AS int), cast(L+16 AS int), cast(L+17 AS int), cast(L+21 AS int)
+        |  FROM t WHERE v = 1)
+        |ORDER BY conv_id, turn_idx, out_begin""".stripMargin,
+
     "q_dedup_minhash" ->
       """WITH t AS (SELECT doc_id, list_distinct(list_transform(
         |    range(1, len(regexp_split_to_array(trim(lower(text)),'\s+')) - 1),
@@ -1022,6 +1075,20 @@ object SparkEntry {
         |      greatest(1, trunc(octet_length(encode(text)) *
         |        least(1.0, 4096.0 / ((64 + (doc_id % 8) * 32) * 64))))
         |    ELSE octet_length(encode(text)) END AS int) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_media_frames" ->
+      """WITH v AS (SELECT doc_id, doc_id * 10 + 1 AS media_id,
+        |    octet_length(encode(text)) AS plen,
+        |    cast(greatest(1, (1000 + (doc_id % 60) * 250) // 1000) AS int) AS frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, media_id, plen, frames,
+        |    unnest(range(0, frames, 2)) AS frame_idx FROM v),
+        |c AS (SELECT *, greatest(1, plen // frames) AS chunk FROM f)
+        |SELECT media_id, doc_id, cast(frame_idx AS int) AS frame_idx,
+        |  cast(CASE WHEN frame_idx * chunk < plen
+        |    THEN least(plen, frame_idx * chunk + chunk) - frame_idx * chunk
+        |    ELSE 0 END AS bigint) AS n_bytes
+        |FROM c ORDER BY media_id, frame_idx""".stripMargin
   )
 }

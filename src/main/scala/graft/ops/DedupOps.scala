@@ -61,13 +61,14 @@ object DedupOps {
     x ^ (x >>> 29)
   }
 
-  /** Map-side MinHash signature as an array<bigint> column of length
-    * `numHashes`, from word `k`-shingles. One pass: each shingle is hashed
-    * once, then `numHashes` integer mixes update the running minima — a
-    * single typed UDF beats the equivalent 64-expression Catalyst tree,
-    * which falls out of whole-stage codegen at this width (measured ~100×).
+  /** MinHash signature from an already-computed shingle-array column. One
+    * pass: each shingle is hashed once, then `numHashes` integer mixes
+    * update the running minima — a single typed UDF beats the equivalent
+    * 64-expression Catalyst tree, which falls out of whole-stage codegen at
+    * this width (measured ~100×). Duplicate shingles cannot change a
+    * minimum, so distinct and raw shingle arrays give identical signatures.
     */
-  def minhashSignature(textCol: Column, k: Int = 3, numHashes: Int = 64): Column = {
+  def minhashSignatureOf(shCol: Column, numHashes: Int = 64): Column = {
     val sigUdf = udf { (shingles: Seq[String]) =>
       val mins = Array.fill(numHashes)(Long.MaxValue)
       if (shingles != null) {
@@ -84,8 +85,25 @@ object DedupOps {
       }
       mins
     }
-    sigUdf(TextOps.shingles(textCol, k))
+    sigUdf(shCol)
   }
+
+  /** Map-side MinHash signature as an array<bigint> column of length
+    * `numHashes`, from word `k`-shingles of raw text.
+    */
+  def minhashSignature(textCol: Column, k: Int = 3, numHashes: Int = 64): Column =
+    minhashSignatureOf(TextOps.shingles(textCol, k), numHashes)
+
+  /** LSH band hashes of a signature column as an array<bigint> of length
+    * `bands` (band b = xxhash64 of its signature slice, seeded by b). The
+    * signature expression is bound as a lambda variable first so it is
+    * evaluated once, not once per band (Catalyst splices lambda bodies
+    * without hoisting invariant subtrees — same trap as TextOps.shingles).
+    */
+  private def bandHashesOf(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    element_at(transform(array(sig), s =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(s, b * rowsPerBand + 1, lit(rowsPerBand))), b))), 1)
 
   /** Band-explode a signature column into (id, band, bucket) rows. */
   private def bandExplode(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
@@ -96,22 +114,35 @@ object DedupOps {
 
   /** Self-join banded rows on (band, bucket) into unique candidate id
     * pairs, skipping buckets larger than `maxBucket` (the residual-skew
-    * guard; dropped candidate-pair counts land in `skippedPairs`).
+    * guard).
+    *
+    * Guard accounting is fused into the candidate job itself: the
+    * bucket-size filter runs through a side-effecting predicate that
+    * records each dropped (band, bucket, size) into `skippedBuckets` as
+    * the filter executes — no separate accounting action. The accumulator
+    * is a collection keyed by (band, bucket), so re-execution of the
+    * filter subtree (the self-join evaluates it on both sides; task
+    * retries re-run it) deduplicates instead of double-counting. The
+    * derived pair count ([[skippedPairCount]]) is an UPPER BOUND on lost
+    * pairs: a pair in an oversized bucket may still be emitted via another
+    * small shared bucket, and the same pair is counted once per oversized
+    * (band, bucket) it lands in.
     */
   private def bucketJoin(banded: DataFrame, maxBucket: Int,
-                         skippedPairs: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
+                         skippedBuckets: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long, Long)]]): DataFrame = {
     val guarded =
       if (maxBucket == Int.MaxValue) banded
       else {
         val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
-        skippedPairs.foreach { acc =>
-          sizes.filter(col("bsize") > maxBucket)
-            .select(sum((col("bsize") * (col("bsize") - 1) / 2).cast("long")).cast("long"))
-            .collect().headOption.filterNot(_.isNullAt(0))
-            .foreach(r => acc.add(r.getLong(0)))
+        val small = skippedBuckets match {
+          case Some(acc) =>
+            val guardPredicate = udf { (band: Int, bucket: Long, bsize: Long) =>
+              if (bsize > maxBucket) { acc.add((band, bucket, bsize)); false } else true
+            }.asNondeterministic() // side effect: must run exactly where placed
+            sizes.filter(guardPredicate(col("band"), col("bucket"), col("bsize")))
+          case None => sizes.filter(col("bsize") <= maxBucket)
         }
-        banded.join(sizes.filter(col("bsize") <= maxBucket), Seq("band", "bucket"))
-          .drop("bsize")
+        banded.join(small, Seq("band", "bucket")).drop("bsize")
       }
     guarded.as("l").join(guarded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -174,16 +205,43 @@ object DedupOps {
         col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("x.rep").as("rep"))
 
+  /** Upper bound on candidate pairs lost to the bucket guard, derived from
+    * the recorded oversized buckets (deduplicated by (band, bucket), so
+    * re-executions of the guard filter cannot inflate it).
+    */
+  private def skippedPairCount(
+      acc: org.apache.spark.util.CollectionAccumulator[(Int, Long, Long)]): Long = {
+    import scala.jdk.CollectionConverters._
+    acc.value.asScala.toSet[(Int, Long, Long)].iterator
+      .map { case (_, _, n) => n * (n - 1) / 2 }.sum
+  }
+
   /** Full MinHash-LSH near-dup pipeline: exact-dedup collapse → LSH
     * candidates over representatives → exact-Jaccard verify → expand back
     * to id pairs above `threshold`.
     *
-    * The per-rep (shingle set, signature) stage feeds the band-explode AND
-    * both sides of the verification join, so it is persisted for the run
-    * (ids + hashes — ~2 orders smaller than raw text) and **unpersisted
-    * before returning**: the returned frame is materialized into its own
-    * (small, pairs-only) persisted handle first. Call
-    * `result.unpersist()` when done with it.
+    * Scale shape (nothing corpus-sized ever crosses an exchange):
+    *  1. One map-side pass computes per row the fingerprint, the LSH band
+    *     hashes (bands × 8 B, via signature → band hashes, all inside the
+    *     scan stage), and the distinct-shingle count. The per-fingerprint
+    *     aggregate then shuffles only (fp, id, band hashes, count) — raw
+    *     text and full signatures stay on the map side, and the partial
+    *     min/min_by collapses duplicate clusters before the exchange.
+    *     (Members of a fingerprint group share normalized text, hence
+    *     identical shingles/signature/band hashes — min_by is only for
+    *     determinism.)
+    *  2. Candidate generation explodes the per-rep band hashes and joins
+    *     on (band, bucket): ids + 8-byte hashes only.
+    *  3. Exact-Jaccard verification re-reads text for candidate reps ONLY,
+    *     via a broadcast semi-join on the candidate id set — the corpus
+    *     streams map-side through the filter and just the candidates'
+    *     shingle sets shuffle into the pair join.
+    * The cost of this shape is signature work per ROW (not per rep) in
+    * pass 1 and a second corpus scan in pass 3 — map-side compute traded
+    * for exchange bytes, the right trade at 100 TB.
+    *
+    * The returned (small, pairs-only) frame is persisted and materialized;
+    * call `result.unpersist()` when done with it.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, k: Int = 3,
@@ -191,35 +249,37 @@ object DedupOps {
                       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
-    val skipped = spark.sparkContext.longAccumulator("graft.dedup.minhash.skippedCandidatePairs")
+    val skipped = spark.sparkContext
+      .collectionAccumulator[(Int, Long, Long)]("graft.dedup.minhash.skippedBuckets")
 
-    val groups = df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
-    // One fingerprint aggregate yields BOTH the fp→rep map and a
-    // representative text per group (any member works: fingerprint-equal
-    // texts normalize to the same token stream, hence identical shingles).
-    // The map-side partial min() collapses a duplicate cluster inside each
-    // input partition BEFORE the shuffle — the raw corpus text is never
-    // joined/shuffled wholesale.
-    val repAgg = df.select(TextOps.fingerprint(col(textCol)).as("fp"),
-        col(idCol).as("id"), col(textCol).as("txt"))
-      .groupBy("fp").agg(min(col("id")).as("rep"), min(col("txt")).as("t"))
-    val reps = repAgg.select(col("fp"), col("rep"))
-    val repDocs = repAgg.select(col("rep").as("id"), col("t"))
+    val repAgg = minhashRepAgg(df, idCol, textCol, k, numHashes, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     // (id → rep) is consumed four times by the pair expansion — cache the
-    // tiny id-pair map instead of recomputing its corpus-scan lineage
-    val byRep = groups.join(reps, "fp").select(col("id"), col("rep"))
+    // tiny id-pair map instead of recomputing its corpus-scan lineage. The
+    // groups side re-derives only the fingerprint (cheap md5 scan).
+    val groups = df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+    val byRep = groups.join(repAgg.select(col("fp"), col("rep")), "fp")
+      .select(col("id"), col("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val prepared = repDocs.select(col("id"),
-        array_distinct(TextOps.shingles(col("t"), k)).as("sh"),
-        minhashSignature(col("t"), k, numHashes).as("sig"))
+    val banded = repAgg.select(col("rep").as("id"),
+      posexplode(col("bh")).as(Seq("band", "bucket")))
+    // Materialized exactly once (single execution of the guard predicate);
+    // reused by the verify join AND the candidate-id broadcast below.
+    val candidates = bucketJoin(banded, maxBucket, Some(skipped))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    candidates.count()
 
-    val candidates = bucketJoin(
-      bandExplode(prepared.select(col("id"), col("sig")), bands, numHashes / bands),
-      maxBucket, Some(skipped))
-
-    val sets = prepared.select(col("id"), col("sh"))
+    // Exact verification: fetch shingle sets for candidate reps only.
+    val candIds = candidates.select(col("id_a").as("__cid"))
+      .union(candidates.select(col("id_b").as("__cid"))).distinct()
+    // persisted + materialized: consumed by both sides of the pair join,
+    // so without this the semi-filtered corpus scan would run twice
+    val sets = df.join(broadcast(candIds), col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("id"), array_distinct(TextOps.shingles(col(textCol), k)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sets.count()
     val repPairs = candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -232,7 +292,7 @@ object DedupOps {
 
     // within-group pairs are exact duplicates: jaccard 1 whenever the
     // shingle set is non-empty
-    val repSetSize = prepared.select(col("id").as("rep"), size(col("sh")).as("nsh"))
+    val repSetSize = repAgg.select(col("rep"), col("nsh"))
     val within = withinGroupPairs(byRep)
       .join(repSetSize, "rep")
       .filter(col("nsh") > 0)
@@ -241,18 +301,40 @@ object DedupOps {
     val expanded = expandCross(repPairs, byRep, Seq("inter", "union", "jaccard"))
       .unionByName(within)
 
-    // Materialize into a pairs-only cache, then release the corpus-sized
-    // intermediates. The returned (small) frame owns its own cache; callers
-    // release it with result.unpersist() when done.
+    // Materialize into a pairs-only cache, then release the intermediates.
+    // The returned (small) frame owns its own cache; callers release it
+    // with result.unpersist() when done.
     val result = expanded.persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    prepared.unpersist(blocking = false)
+    repAgg.unpersist(blocking = false)
     byRep.unpersist(blocking = false)
-    if (skipped.value > 0)
+    candidates.unpersist(blocking = false)
+    sets.unpersist(blocking = false)
+    val nSkipped = skippedPairCount(skipped)
+    if (nSkipped > 0)
       org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
-        s"minhashNearDups: bucket guard (maxBucket=$maxBucket) skipped ~${skipped.value} candidate pairs")
+        s"minhashNearDups: bucket guard (maxBucket=$maxBucket) skipped up to " +
+          s"$nSkipped candidate pairs (pairs may survive via other buckets)")
     result
   }
+
+  /** Map-side pass 1 + per-fingerprint collapse for [[minhashNearDups]]:
+    * (fp, rep, band hashes, distinct-shingle count) per distinct document.
+    * Package-visible so plan tests can assert that no exchange in this
+    * stage carries the raw text column.
+    */
+  private[graft] def minhashRepAgg(df: DataFrame, idCol: String, textCol: String,
+                                 k: Int, numHashes: Int, bands: Int): DataFrame =
+    df.withColumn("__sh", array_distinct(TextOps.shingles(col(textCol), k)))
+      .withColumn("__sig", minhashSignatureOf(col("__sh"), numHashes))
+      .select(TextOps.fingerprint(col(textCol)).as("fp"),
+        col(idCol).as("id"),
+        bandHashesOf(col("__sig"), bands, numHashes / bands).as("bh"),
+        size(col("__sh")).as("nsh"))
+      .groupBy("fp")
+      .agg(min(col("id")).as("rep"),
+        min_by(col("bh"), col("id")).as("bh"),
+        min_by(col("nsh"), col("id")).as("nsh"))
 
   /** 64-bit SimHash over token hashes: for each bit, sum ±1 weights over
     * tokens and take the sign. One-pass typed UDF for the same codegen-
@@ -289,20 +371,21 @@ object DedupOps {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
-    val skipped = spark.sparkContext.longAccumulator("graft.dedup.simhash.skippedCandidatePairs")
+    val skipped = spark.sparkContext
+      .collectionAccumulator[(Int, Long, Long)]("graft.dedup.simhash.skippedBuckets")
 
+    // Map-side pass: fingerprint + 8-byte simhash per row; the per-fp
+    // collapse shuffles (fp, id, sim) only — text never leaves the scan
+    // stage anywhere in this pipeline (hamming verification needs just the
+    // 64-bit signatures). min_by is for determinism: fp-equal docs share
+    // normalized text, hence the same simhash.
+    val repAgg = simhashRepAgg(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val groups = df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
-    // same one-aggregate rep derivation as minhashNearDups: no corpus join
-    val repAgg = df.select(TextOps.fingerprint(col(textCol)).as("fp"),
-        col(idCol).as("id"), col(textCol).as("txt"))
-      .groupBy("fp").agg(min(col("id")).as("rep"), min(col("txt")).as("t"))
-    val reps = repAgg.select(col("fp"), col("rep"))
-    val repDocs = repAgg.select(col("rep").as("id"), col("t"))
-    val byRep = groups.join(reps, "fp").select(col("id"), col("rep"))
+    val byRep = groups.join(repAgg.select(col("fp"), col("rep")), "fp")
+      .select(col("id"), col("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val sigs = repDocs.select(col("id"), simhash64(col("t")).as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = repAgg.select(col("rep").as("id"), col("sim"))
     val banded = sigs.select(col("id"), posexplode(array(
       (0 until 4).map(b => shiftrightunsigned(col("sim"), b * 16).bitwiseAND(0xffffL)): _*))
       .as(Seq("band", "bucket")))
@@ -321,11 +404,23 @@ object DedupOps {
 
     val result = cross.unionByName(within).persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    sigs.unpersist(blocking = false)
+    repAgg.unpersist(blocking = false)
     byRep.unpersist(blocking = false)
-    if (skipped.value > 0)
+    val nSkipped = skippedPairCount(skipped)
+    if (nSkipped > 0)
       org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
-        s"simhashNearDups: bucket guard (maxBucket=$maxBucket) skipped ~${skipped.value} candidate pairs")
+        s"simhashNearDups: bucket guard (maxBucket=$maxBucket) skipped up to " +
+          s"$nSkipped candidate pairs (pairs may survive via other buckets)")
     result
   }
+
+  /** Map-side pass + per-fingerprint collapse for [[simhashNearDups]]:
+    * (fp, rep, simhash) per distinct document. Package-visible for plan
+    * tests (no text column above the exchange).
+    */
+  private[graft] def simhashRepAgg(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol).as("id"),
+        simhash64(col(textCol)).as("sim"))
+      .groupBy("fp")
+      .agg(min(col("id")).as("rep"), min_by(col("sim"), col("id")).as("sim"))
 }

@@ -59,9 +59,21 @@ object SimOps {
     * a `row_number` over (sim desc, neighbor_id asc).
     *
     * Input must have columns (query_id, neighbor_id: long-castable, sim:
-    * double-castable).
+    * double-castable). Ids are REQUIRED to be integral (byte/short/int/
+    * long): a non-numeric id would cast to null and be silently dropped by
+    * the null-skipping aggregate — so non-integral id types fail fast here
+    * instead. This requirement flows through every public ANN entry point
+    * (bruteForceTopK / lshTopK / ivfTopK).
     */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    for (c <- Seq("query_id", "neighbor_id")) {
+      val t = scored.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"topKPerQuery requires an integral $c column (byte/short/int/long); " +
+          s"got ${t.simpleString} — non-integral ids would cast to null and be " +
+          "silently dropped by the bounded-heap aggregate")
+    }
     graft.functions.GraftFunctions.register(scored.sparkSession)
     scored
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),

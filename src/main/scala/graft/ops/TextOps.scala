@@ -38,21 +38,36 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "que", "por", "con")
   )
 
-  /** Count of tokens contained in `words` (case-insensitive). */
-  def wordSetCount(c: Column, words: Seq[String]): Column = {
+  /** Count of members of `words` in an already-bound (lowercased) token
+    * array column. Prefer this over [[wordSetCount]] when the caller has
+    * materialized the token array — the bound-column variants avoid
+    * re-evaluating the tokenizer expression per consumer.
+    */
+  def wordSetCountOf(toks: Column, words: Seq[String]): Column = {
     val set = array(words.map(lit): _*)
-    size(filter(tokens(lower(c)), t => array_contains(set, t)))
+    size(filter(toks, t => array_contains(set, t)))
   }
+
+  /** Count of tokens contained in `words` (case-insensitive). */
+  def wordSetCount(c: Column, words: Seq[String]): Column =
+    wordSetCountOf(tokens(lower(c)), words)
 
   def stopwordCount(c: Column, lang: String = "en"): Column =
     wordSetCount(c, stopwords(lang))
+
+  def stopwordCountOf(toks: Column, lang: String = "en"): Column =
+    wordSetCountOf(toks, stopwords(lang))
 
   /** Language-ID heuristic: the language whose stopword hit-count is
     * highest wins; ties and zero hits → "und" (undetermined). Evaluation
     * order en→de→fr→es is part of the contract (mirrored in the oracle).
     */
-  def langId(c: Column): Column = {
-    val counts = Seq("en", "de", "fr", "es").map(l => l -> stopwordCount(c, l))
+  def langId(c: Column): Column =
+    element_at(transform(array(tokens(lower(c))), ts => langIdOf(ts)), 1)
+
+  /** [[langId]] over an already-bound lowercased token array column. */
+  def langIdOf(ltoks: Column): Column = {
+    val counts = Seq("en", "de", "fr", "es").map(l => l -> wordSetCountOf(ltoks, stopwords(l)))
     val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
     counts.foldRight(lit("und"): Column) { case ((l, cnt), acc) =>
       when(cnt === best && best > 0, lit(l)).otherwise(acc)
@@ -133,13 +148,28 @@ object TextOps {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
-  /** Word k-shingles as an array column (native higher-order functions; no
-    * UDF): shingle i = tokens[i..i+k); fewer than k tokens → empty array.
+  /** Word k-shingles over an already-bound token-array column: shingle i =
+    * toks[i..i+k); fewer than k tokens → empty array. `toks` MUST be a
+    * cheap reference (a materialized column or a lambda variable), not a
+    * full tokenizer expression — Catalyst splices lambda bodies verbatim
+    * and does not hoist invariant subexpressions out of them, so an
+    * expensive `toks` tree would re-evaluate once PER SHINGLE (O(tokens²)
+    * per document). [[shingles]] wraps this with the single-evaluation
+    * binding for callers starting from raw text.
     */
-  def shingles(c: Column, k: Int): Column = {
-    val toks = tokens(lower(c))
+  def shinglesOf(toks: Column, k: Int): Column =
     when(size(toks) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+
+  /** Word k-shingles from raw text (native higher-order functions; no UDF).
+    *
+    * The tokenizer output is bound as a lambda variable via a one-element
+    * array wrap (`transform(array(tokens), ts => ...)`): lambda variables
+    * are evaluated once and read O(1), so the split runs once per row
+    * instead of once per shingle — the difference between O(n) and O(n²)
+    * per document.
+    */
+  def shingles(c: Column, k: Int): Column =
+    element_at(transform(array(tokens(lower(c))), ts => shinglesOf(ts, k)), 1)
 }

@@ -117,6 +117,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("near-dup rep derivation shuffles no text: every exchange is text-free") {
+    import graft.ops.DedupOps
+    import org.apache.spark.sql.types.StringType
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // The only string allowed across ANY exchange in the signature/collapse
+    // stage is the 32-char fingerprint; the raw text column must stay
+    // inside the scan stage (the round-2 design shuffled min(text) per fp).
+    for (repAgg <- Seq(
+        DedupOps.minhashRepAgg(docs, "doc_id", "text", k = 3, numHashes = 64, bands = 16),
+        DedupOps.simhashRepAgg(docs, "doc_id", "text"))) {
+      // inspect the initial physical plan (pre-AQE staging) so the
+      // ShuffleExchangeExec nodes are still direct tree members
+      val exchanges = collectPlan(repAgg.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeExec => s }
+      assert(exchanges.nonEmpty, "expected the fp-collapse exchange")
+      for (ex <- exchanges; attr <- ex.output) {
+        assert(attr.name != "text" && attr.name != "t" && attr.name != "txt",
+          s"text column crosses an exchange: ${ex.output.mkString(", ")}")
+        if (attr.dataType == StringType)
+          assert(attr.name.startsWith("fp"),
+            s"unexpected string-typed column '${attr.name}' crosses an exchange " +
+              s"(only the fingerprint may): ${ex.output.mkString(", ")}")
+      }
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis operators") {
     val df = SparkEntry.queries("q_docs_quality")(spark, sfDir)
     df.collect() // finalize AQE so codegen stages appear

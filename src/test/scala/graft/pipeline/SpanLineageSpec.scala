@@ -82,6 +82,42 @@ class SpanLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cursor == out.length)
   }
 
+  test("render spans: output slices equal escaped input slices and sit inside the rendered HTML, fixture-wide") {
+    import graft.core.{BBCodeParser, BBCodeToHtml, Transform}
+    val in = getClass.getResourceAsStream("/oracle_fixtures.jsonl")
+    require(in != null)
+    var n = 0
+    for (line <- Source.fromInputStream(in, "UTF-8").getLines() if line.nonEmpty) {
+      val fx = mapper.readTree(line)
+      if (!fx.has("error") && fx.get("parser").asText == "bbcode") {
+        n += 1
+        val input = fx.get("input").asText
+        val cfg = config(fx.get("config").asText)
+        val (out, spans) = SpanLineage.renderSpans(input, cfg)
+        // output must be byte-equal to the plain render path
+        assert(out == BBCodeToHtml(BBCodeParser.parse(input, cfg)), s"id=${fx.get("id")}")
+        val doc = new graft.core.Doc(input.toCharArray)
+        spans.foreach { case (nb, ne, ob, oe) =>
+          assert(0 <= ob && ob <= oe && oe <= out.length, s"id=${fx.get("id")} span oob")
+          val tn = new graft.core.TextNode(doc, null, nb, ne)
+          assert(out.substring(ob, oe) ==
+            Transform.htmlEscapePlain(tn, input.substring(nb, ne)),
+            s"id=${fx.get("id")} render span content mismatch at [$nb,$ne)->[$ob,$oe)")
+        }
+      }
+    }
+    assert(n > 2000)
+  }
+
+  test("render spans: wrapped, nested, and escaped positions are exact") {
+    val cfg = TagAttributes.bbcodeCanonical
+    val (out, spans) = SpanLineage.renderSpans("[b]hi [i]deep[/i][/b]<&", cfg)
+    assert(out == "<strong>hi <em>deep</em></strong>&lt;&amp;")
+    // text node "hi " at input [3,6) -> output [8,11); "deep" at [9,13) ->
+    // inside <em> at 8+3+4=15..19; "<&" at [21,23) -> escaped [33,42)
+    assert(spans == Vector((3, 6, 8, 11), (9, 13, 15, 19), (21, 23, 33, 42)))
+  }
+
   test("spanTable (distributed) equals core stripSpans per turn") {
     val turns = TranscriptGen.turns(spark, 2000, seed = 42, partitions = 8)
     val rows = SpanLineage.spanTable(turns).collect()

@@ -15,6 +15,58 @@ import org.apache.spark.sql.SparkSession
   * "queries".
   */
 object Bench {
+  /** Last recorded per-query seconds at sf0.1 / local[32] (refresh together
+    * with BENCH_local_*.json). The regression gate warns when a query at
+    * HEAD exceeds [[gateFactor]]× its recorded time — so a final commit
+    * that blows up a query cannot ship silently un-benched again (the
+    * round-2 q_docs_repetition lesson: a 106 s query landed after the last
+    * bench refresh).
+    */
+  val recordedQuerySeconds: Map[String, Double] = Map(
+    "q_agg_pricing" -> 3.1, "q_ann_ivf" -> 2.6, "q_ann_lsh" -> 1.1,
+    "q_ann_top1" -> 1.6, "q_ann_topk" -> 1.4, "q_anti_join" -> 0.5,
+    "q_cube_orders" -> 0.9, "q_dates" -> 0.4, "q_dedup_embedding" -> 3.2,
+    "q_dedup_exact" -> 1.9, "q_dedup_minhash" -> 7.5, "q_dedup_simhash" -> 2.5,
+    "q_docs_bpe_tokens" -> 0.5, "q_docs_filter_flags" -> 1.7,
+    "q_docs_fingerprint" -> 0.6, "q_docs_langid" -> 1.9,
+    "q_docs_quality" -> 0.7, "q_docs_quality_score" -> 0.8,
+    "q_docs_repetition" -> 1.5, "q_docs_rollhash" -> 0.4,
+    "q_docs_tokens" -> 0.5, "q_escape_constructed" -> 0.5,
+    "q_events_daily" -> 0.5, "q_filter_dates" -> 0.4, "q_having_custs" -> 0.5,
+    "q_html_main_content" -> 1.2, "q_html_strip_constructed" -> 0.6,
+    "q_join_segment_sales" -> 0.6, "q_json_events" -> 0.6,
+    "q_langid_ngram" -> 0.9, "q_media_features" -> 0.8, "q_media_frames" -> 0.8,
+    "q_media_resize" -> 0.8, "q_percentiles" -> 0.5,
+    "q_pipeline_assembly" -> 1.2, "q_pipeline_errors" -> 0.8,
+    "q_pipeline_extract" -> 1.0, "q_pipeline_html" -> 1.0,
+    "q_pipeline_offsets" -> 1.0, "q_render_constructed" -> 0.6,
+    "q_rollup_orders" -> 0.6, "q_scalar_funcs" -> 0.4,
+    "q_semi_join" -> 0.5, "q_sessionize" -> 1.4, "q_set_customers" -> 0.6,
+    "q_span_lineage" -> 1.0, "q_span_lineage_render" -> 1.2,
+    "q_strip_constructed" -> 0.6, "q_strip_native_expr" -> 0.6,
+    "q_token_jaccard" -> 0.9, "q_topk_docs" -> 0.4, "q_vocab_top" -> 0.7,
+    "q_window_running" -> 0.6, "q_window_top_event" -> 0.6,
+    "x_extract_transcripts" -> 3.0
+  )
+
+  /** A regression fires above 3× the recorded time AND above a 1.5 s
+    * absolute floor (sub-second queries jitter multiplicatively with host
+    * load; a genuine blowup clears both bars).
+    */
+  val gateFactor = 3.0
+  private val gateFloorSec = 1.5
+
+  /** WARN lines for queries that regressed past the gate; pure so the gate
+    * itself is unit-testable.
+    */
+  def regressionWarnings(times: Seq[(String, Double)],
+                         recorded: Map[String, Double] = recordedQuerySeconds,
+                         factor: Double = gateFactor): Seq[String] =
+    times.collect {
+      case (q, t) if t > gateFloorSec && recorded.get(q).exists(r => t > r * factor) =>
+        f"WARN bench regression gate: $q took $t%.2f s > $factor%.1fx recorded ${recorded(q)}%.2f s — re-bench or fix before shipping"
+    }
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -125,6 +177,9 @@ object Bench {
     }
     sHigh.stop()
 
+    val warnings = regressionWarnings(results)
+    warnings.foreach(System.err.println)
+
     val (ceil1, ceil2, ceilEff) = cpuCeiling(scaleN * 4, cpus)
 
     def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -141,7 +196,8 @@ object Bench {
       s""""cpu_ceiling_efficiency_${scaleN * 4}_${cpus}":${f(ceilEff)}""",
       s""""cpu_ceiling_gops_${scaleN * 4}c":${f(ceil1 / 1e9)}""",
       s""""cpu_ceiling_gops_${cpus}c":${f(ceil2 / 1e9)}""",
-      s""""bench_turns":$benchTurns"""
+      s""""bench_turns":$benchTurns""",
+      s""""bench_regressions":${warnings.size}"""
     )).mkString("{", ",", "}")
 
     println(s"""{"metric":"turns/sec parse+transform (local[$cpus])","value":${f(highTput)},"unit":"turns/sec","queries":$qs,"sf":"$sfDir"}""")

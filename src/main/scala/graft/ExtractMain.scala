@@ -10,10 +10,15 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * spark-submit --class graft.ExtractMain <jar> \
   *   --in <path-or-table> --out <dir> \
-  *   [--format parquet|iceberg] [--markup bbcode|html] [--buckets N] \
+  *   [--mode extract|main-content] [--format parquet|iceberg] \
+  *   [--markup bbcode|html] [--buckets N] \
   *   [--date-from YYYY-MM-DD] [--date-to YYYY-MM-DD] \
   *   [--lineage <dir>] [--spans <dir>]
   * }}}
+  *
+  * `--mode main-content` runs the DOM-heuristic boilerplate-removal stage
+  * (ContentExtract) over HTML turns instead of strip+render, with the same
+  * resumable bucket machinery.
   *
   * Behavior: resumable bucket-committed write (re-running after any
   * partial failure completes exactly the missing buckets), optional
@@ -56,8 +61,15 @@ object ExtractMain {
 
     val metrics = ExtractJob.newMetrics(spark)
     val t0 = System.nanoTime()
-    val done = ExtractJob.runResumable(spark, turns, out, buckets = buckets,
-      cfg = ExtractJob.defaultCfg(markup), metrics = Some(metrics), markup = markup)
+    val done = a.getOrElse("mode", "extract").toLowerCase match {
+      case "extract" =>
+        ExtractJob.runResumable(spark, turns, out, buckets = buckets,
+          cfg = ExtractJob.defaultCfg(markup), metrics = Some(metrics), markup = markup)
+      case "main-content" =>
+        ExtractJob.runResumableMainContent(spark, turns, out, buckets = buckets,
+          metrics = Some(metrics))
+      case other => sys.error(s"--mode must be extract or main-content, got '$other'")
+    }
 
     // extraction throughput is measured over the extract phase only — the
     // optional lineage/span sinks are separate full passes

@@ -179,7 +179,72 @@ object ExtractJob {
                    buckets: Int = 32,
                    cfg: Map[String, TagAttributes] = null,
                    metrics: Option[Metrics] = None,
-                   markup: Markup = BBCode): Set[Int] = {
+                   markup: Markup = BBCode): Set[Int] =
+    resumable(spark, turns, outDir, buckets) { pending =>
+      extract(pending, cfg, metrics, markup).toDF()
+    }
+
+  /** Main-content variant of the resumable run (`--mode main-content`):
+    * identical bucket-commit/repair machinery, but the per-turn stage is
+    * the DOM-heuristic main-content extraction over HTML turns.
+    */
+  def runResumableMainContent(spark: SparkSession, turns: Dataset[Turn], outDir: String,
+                              buckets: Int = 32,
+                              cfg: Map[String, TagAttributes] = null,
+                              metrics: Option[Metrics] = None): Set[Int] =
+    resumable(spark, turns, outDir, buckets) { pending =>
+      extractMainContent(pending, cfg, metrics).toDF()
+    }
+
+  /** Main-content extraction stage: per-turn `ContentExtract.mainContent`
+    * inside `mapPartitions` — same zero-shuffle hot-stage shape and metrics
+    * plumbing as [[extract]].
+    */
+  def extractMainContent(turns: Dataset[Turn],
+                         cfg: Map[String, TagAttributes] = null,
+                         metrics: Option[Metrics] = None): Dataset[MainContentOut] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val resolvedCfg = if (cfg != null) cfg else defaultCfg(Html)
+    turns.mapPartitions { iter =>
+      var n = 0L
+      var errs = 0L
+      val out = iter.map { t =>
+        val r =
+          try MainContentOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
+            ContentExtract.mainContent(t.text, resolvedCfg),
+            if (t.text == null) 0 else t.text.length, null)
+          catch {
+            case e: Throwable =>
+              MainContentOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
+                null, if (t.text == null) 0 else t.text.length,
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        n += 1
+        if (r.parse_error != null) errs += 1
+        r
+      }
+      new Iterator[MainContentOut] {
+        private var reported = false
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !reported) {
+            reported = true
+            metrics.foreach { m => m.rows.add(n); m.errors.add(errs) }
+          }
+          h
+        }
+        def next(): MainContentOut = out.next()
+      }
+    }
+  }
+
+  /** Shared resumable-bucket machinery: list committed buckets, repair
+    * unmarked partials, run `stage` over the pending turns only, write
+    * partitioned by bucket, mark new buckets committed.
+    */
+  private def resumable(spark: SparkSession, turns: Dataset[Turn], outDir: String,
+                        buckets: Int)(stage: Dataset[Turn] => org.apache.spark.sql.DataFrame): Set[Int] = {
     import spark.implicits._
     val path = new Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -196,7 +261,7 @@ object ExtractJob {
       else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
 
     val pending = remaining.select("conv_id", "turn_idx", "role", "text", "tool", "ts").as[Turn]
-    val out = extract(pending, cfg, metrics, markup)
+    val out = stage(pending)
       .withColumn("bucket", pmod(hash(col("conv_id")), lit(buckets)))
 
     out.write.mode(SaveMode.Append).partitionBy("bucket").parquet(outDir)

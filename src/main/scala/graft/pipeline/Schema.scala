@@ -33,6 +33,20 @@ final case class TurnOut(
     parse_error: String
 )
 
+/** Main-content extraction output for one turn (`--mode main-content`):
+  * the DOM-heuristic main text of the turn's HTML, boilerplate elided.
+  */
+final case class MainContentOut(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    tool: String,
+    ts: Timestamp,
+    main_text: String,
+    n_chars: Int,
+    parse_error: String
+)
+
 /** Per-input-partition lineage/metrics row emitted by the extract job. */
 final case class PartitionStat(
     partition_id: Int,

@@ -236,4 +236,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sizes = a.groupBy(_.conv_id).view.mapValues(_.length).values.toSeq
     assert(sizes.max > 50 * 8, "skewed conversation present") // conv 0 has 100x base
   }
+
+  test("main-content resumable run: bucket resume works and per-turn output matches pure core") {
+    val dir = Files.createTempDirectory("graft_mc").toString
+    // HTML pages around the generator-free deterministic doc ids: even rows
+    // have a boilerplate-heavy page with an article, odd rows a bare page
+    val turns = (0 until 400).map { i =>
+      val body = s"main body text $i " * 10
+      val page =
+        if (i % 2 == 0)
+          s"""<html><body><header>Site</header><div class="m"><a href="/a">Home page link</a><a href="/b">About us page link</a><a href="/c">Contact page link</a></div><article>$body</article><footer>Legal</footer></body></html>"""
+        else s"<p>$body</p><script>var x=1;</script>"
+      Turn(s"conv${i % 20}", i / 20, "user", page, "none",
+        new java.sql.Timestamp(1700000000000L + i))
+    }
+    val ds = spark.createDataset(turns)(
+      org.apache.spark.sql.Encoders.product[Turn]).repartition(4)
+
+    ExtractJob.runResumableMainContent(spark, ds, dir, buckets = 8)
+    // crash simulation: drop one bucket, resume completes exactly it
+    val fs = new java.io.File(dir)
+    fs.listFiles().filter(_.getName == "bucket=4")
+      .foreach(f => { f.listFiles().foreach(_.delete()); f.delete() })
+    assert(ExtractJob.completedBuckets(spark, dir).size == 7)
+    val done = ExtractJob.runResumableMainContent(spark, ds, dir, buckets = 8)
+    assert(done.size == 8)
+
+    val actual = spark.read.parquet(dir)
+      .select("conv_id", "turn_idx", "main_text", "parse_error").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(actual.length == 400)
+    assert(actual.forall(_._4 == null))
+    // distributed output equals the pure core per turn
+    val byKey = turns.map(t => (t.conv_id, t.turn_idx) -> t.text).toMap
+    actual.foreach { case (c, i, main, _) =>
+      assert(main == graft.core.ContentExtract.mainContent(byKey((c, i))), s"($c,$i)")
+    }
+    // boilerplate must actually be gone from the article pages
+    assert(actual.forall { case (_, _, m, _) => !m.contains("Home page link") && !m.contains("var x=1") })
+  }
 }

@@ -143,6 +143,51 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AQE splits the skewed join partition on the generator's planted 100x conversation") {
+    import org.apache.spark.sql.functions._
+    // conv 0 carries ~half the rows of a 30k-turn block; join turns to
+    // per-conversation stats with broadcast disabled so the shuffle join's
+    // skewed partition is visible to AQE's skew-join rule
+    // 16 shuffle partitions so the hot conversation's reducer stands alone
+    // against the median (at 4, every partition carries a similar share of
+    // the non-hot convs and the byte-level skew is only ~1.1x median)
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ONE generator block: its single hot conversation holds half the
+      // rows, so its reducer partition is ~15x the median. The
+      // incompressible per-row digest keeps shuffle BYTES proportional to
+      // row counts (the repetitive markup otherwise compresses ~14x inside
+      // the hot partition and flattens the byte-level skew AQE measures).
+      val turns = TranscriptGen.turns(spark, TranscriptGen.BlockTurns, 42, 8).toDF()
+        .withColumn("pad", sha2(concat_ws("|", col("conv_id"),
+          col("turn_idx"), col("text")), 512))
+      // stats pre-materialized to a local table: OptimizeSkewedJoin only
+      // matches Sort(ShuffleStage) join children — an aggregate between
+      // sort and stage (as in the lazy groupBy lineage) defeats the rule
+      val statsRows = turns.groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
+      val stats = spark.createDataFrame(
+        java.util.Arrays.asList(statsRows.collect(): _*), statsRows.schema)
+      val joined = turns.join(stats, "conv_id")
+      joined.collect() // finalize AQE on THIS QueryExecution
+      val s = joined.queryExecution.executedPlan.toString()
+      assert(s.contains("skew=true"),
+        s"AQE did not split the skewed join partition:\n$s")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis operators") {
     val df = SparkEntry.queries("q_docs_quality")(spark, sfDir)
     df.collect() // finalize AQE so codegen stages appear

@@ -38,6 +38,43 @@ class ContentExtractSpec extends AnyFunSuite {
     assert(ContentExtract.mainContent(html) == ContentExtract.mainContent(html))
   }
 
+  test("blog layout: sidebar tag cloud and nav lose to the article") {
+    val body = "the quick brown fox jumps over the lazy dog " * 12
+    val page = "<html><body>" +
+      """<nav><a href="/1">Home</a><a href="/2">Blog</a><a href="/3">About</a></nav>""" +
+      """<div class="sidebar"><a href="/t1">tag one</a><a href="/t2">tag two</a>""" +
+      """<a href="/t3">tag three</a><a href="/t4">tag four words</a></div>""" +
+      s"<article><h1>Title</h1><p>$body</p></article>" +
+      "<footer>Copyright legal text</footer></body></html>"
+    val main = ContentExtract.mainContent(page)
+    assert(main.contains("quick brown fox"))
+    assert(!main.contains("tag one") && !main.contains("Home") && !main.contains("Copyright"))
+  }
+
+  test("news layout: related-links box inside the article is outweighed by running text") {
+    val p1 = "report text sentence with many informative words " * 10
+    val p2 = "second paragraph of the story continues at length " * 8
+    val page = "<html><body><header><div class=\"menu\">" +
+      """<a href="/a">World</a><a href="/b">Sport</a><a href="/c">Tech</a></div></header>""" +
+      s"<main><article><p>$p1</p>" +
+      """<div class="related"><a href="/r1">related story one</a><a href="/r2">related story two</a></div>""" +
+      s"<p>$p2</p></article></main>" +
+      """<footer><a href="/priv">Privacy</a><a href="/terms">Terms</a></footer></body></html>"""
+    val main = ContentExtract.mainContent(page)
+    assert(main.contains("report text sentence") && main.contains("second paragraph"))
+    assert(!main.contains("World") && !main.contains("Privacy"))
+  }
+
+  test("old-web table layout: nav cell loses to the content cell") {
+    val story = "long running article text that fills the content cell " * 10
+    val page = "<html><body><table><tr>" +
+      """<td><a href="/n1">nav one</a><a href="/n2">nav two</a><a href="/n3">nav three</a></td>""" +
+      s"<td><p>$story</p></td></tr></table></body></html>"
+    val main = ContentExtract.mainContent(page)
+    assert(main.contains("long running article text"))
+    assert(!main.contains("nav one"))
+  }
+
   test("real 60 KB github.com page: non-empty, script-free, narrower than the full strip") {
     val in = getClass.getResourceAsStream("/htmlgolden/github.com.html")
     require(in != null)

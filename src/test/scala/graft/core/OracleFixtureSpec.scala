@@ -75,7 +75,7 @@ class OracleFixtureSpec extends AnyFunSuite {
         }
       }
     }
-    assert(n > 5100, s"expected >5100 fixtures, saw $n")
+    assert(n > 5600, s"expected >5600 fixtures, saw $n")
     if (failures.nonEmpty) fail(s"${failures.size}+ fixture mismatches (showing up to 10):\n${failures.reverse.mkString("\n---\n")}")
   }
 }

@@ -61,7 +61,7 @@ class SpanLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(cursor == out.length, s"id=${fx.get("id")} spans don't cover output")
       }
     }
-    assert(n > 5100)
+    assert(n > 5600)
   }
 
   test("spans with an escape transform map input spans to ESCAPED output spans") {

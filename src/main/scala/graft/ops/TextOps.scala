@@ -148,6 +148,37 @@ object TextOps {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** PII-ish surface patterns for pretraining-corpus scrubbing. Kept to
+    * regex constructs with identical semantics in Java regex (Spark) and
+    * RE2 (DuckDB) so counts and redactions oracle exactly.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^ \\t\\n]+"
+  val longDigitPattern = "[0-9]{7,}"
+
+  private def patternCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Per-document counts of emails / urls / long digit runs. */
+  def piiSignals(c: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> patternCount(c, emailPattern),
+    "n_urls" -> patternCount(c, urlPattern),
+    "n_long_digits" -> patternCount(c, longDigitPattern)
+  )
+
+  /** Redacted text: emails, then urls, then long digit runs replaced with
+    * typed placeholder tokens (order matters — it is part of the contract,
+    * mirrored in the oracle: an email inside a url has already been
+    * swallowed by the url placeholder only if urls run first, so emails
+    * run FIRST here).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>"),
+      longDigitPattern, "<NUM>")
+
   /** Word k-shingles over an already-bound token-array column: shingle i =
     * toks[i..i+k); fewer than k tokens → empty array. `toks` MUST be a
     * cheap reference (a materialized column or a lambda variable), not a

@@ -37,6 +37,75 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.createDataFrame(rows ++ planted).toDF("doc_id", "text")
   }
 
+  test("asofJoin: inclusive at equal ts, null before first checkpoint, whole-row fill") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    val left = spark.createDataFrame(Seq(
+      (1L, 10L, ts(5)),   // after cp at 3 -> b
+      (2L, 10L, ts(3)),   // EQUAL ts as cp at 3 -> inclusive -> b
+      (3L, 10L, ts(1)),   // before any cp -> null
+      (4L, 20L, ts(9)),   // other key -> its own cp
+      (5L, 30L, ts(9))    // key with no cps at all -> null
+    )).toDF("event_id", "user_id", "ts")
+    val right = spark.createDataFrame(Seq(
+      (10L, ts(2), "a", "x"), (10L, ts(3), "b", null.asInstanceOf[String]),
+      (20L, ts(4), "c", "y")
+    )).toDF("user_id", "ts", "v1", "v2")
+    val r = JoinOps.asofJoin(left, right, "user_id", "ts", Seq("v1", "v2"))
+      .collect().map(row => row.getLong(0) ->
+        (Option(row.get(row.fieldIndex("v1"))), Option(row.get(row.fieldIndex("v2"))))).toMap
+    assert(r(1L) == (Some("b"), None))  // whole row at ts=3 wins: v2 null NOT backfilled from ts=2
+    assert(r(2L) == (Some("b"), None))  // inclusive
+    assert(r(3L) == (None, None))
+    assert(r(4L) == (Some("c"), Some("y")))
+    assert(r(5L) == (None, None))
+  }
+
+  test("asofJoin plans without a nested-loop or cartesian join") {
+    import java.sql.Timestamp
+    val left = spark.createDataFrame(Seq((1L, 10L, new Timestamp(0L)))).toDF("event_id", "user_id", "ts")
+    val right = spark.createDataFrame(Seq((10L, new Timestamp(0L), 1.0))).toDF("user_id", "ts", "v")
+    val plan = JoinOps.asofJoin(left, right, "user_id", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"as-of join must not plan a range/NL join:\n$plan")
+  }
+
+  test("connectedComponents: chains, separate components, min-label clusters") {
+    // component A: chain 1-2-3-4 (diameter 3 forces multiple rounds);
+    // component B: clique-ish 10-11, 11-12, 10-12; isolated edge 20-21
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    )).toDF("id_a", "id_b")
+    val cc = DedupOps.connectedComponents(pairs)
+    val m = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc.unpersist()
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("pii signals and redaction: counts, order of redaction, no false hits") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "mail me at a.b+c@test.org or see https://x.test/path?id=12345678 code 99887766"),
+      (2L, "no pii here just words"),
+      (3L, "short 123 number and user@host") // no TLD match, short digits
+    )).toDF("id", "t")
+    val r = df.select(
+        col("id") +: TextOps.piiSignals(col("t")).map { case (n, c) => c.as(n) } :+
+          TextOps.redactPii(col("t")).as("red"): _*)
+      .collect().map(row => row.getLong(0) ->
+        (row.getInt(1), row.getInt(2), row.getInt(3), row.getString(4))).toMap
+    // counts run on the RAW text: the url's 8-digit id also counts as a
+    // long digit run (2 total with the trailing code)
+    assert(r(1L)._1 == 1 && r(1L)._2 == 1 && r(1L)._3 == 2)
+    // url redacted whole (digits inside swallowed by <URL>), then free digits -> <NUM>
+    assert(r(1L)._4 == "mail me at <EMAIL> or see <URL> code <NUM>")
+    assert(r(2L) == ((0, 0, 0, "no pii here just words")))
+    assert(r(3L)._1 == 0 && r(3L)._3 == 0)
+  }
+
   test("shingles: k-grams, short docs yield empty array") {
     val df = spark.createDataFrame(Seq((1L, "a b c d"), (2L, "a b"), (3L, ""))).toDF("id", "t")
     val r = df.select(col("id"), TextOps.shingles(col("t"), 3).as("sh"))

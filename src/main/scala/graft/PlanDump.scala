@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.{DedupOps, JoinOps, SimOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility: dump the physical plans of the headline operators to
+  * stdout (source for PLANS.md). Not part of the driver contract.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-plan-dump")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"===== $name =====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+      println()
+    }
+
+    dump("extract_hot_path", graft.pipeline.ExtractJob.extract(
+      graft.pipeline.TranscriptGen.turns(spark, 1000, 42, 8)).toDF())
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    dump("minhash_rep_agg",
+      DedupOps.minhashRepAgg(docs, "doc_id", "text", 3, 64, 16))
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    dump("ann_bruteforce_topk",
+      SimOps.bruteForceTopK(e.filter(col("vec_id") < 5), e, 3))
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "ts")
+    val cp = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("cp_value"))
+    dump("asof_join", JoinOps.asofJoin(ev, cp, "user_id", "ts", Seq("cp_value")))
+    dump("dim_join", SparkEntry.queries("q_join_segment_sales")(spark, sf))
+    dump("pruned_scan", SparkEntry.queries("q_topk_docs")(spark, sf))
+    spark.stop()
+  }
+}

@@ -66,6 +66,11 @@ object ExtractMain {
         ExtractJob.runResumable(spark, turns, out, buckets = buckets,
           cfg = ExtractJob.defaultCfg(markup), metrics = Some(metrics), markup = markup)
       case "main-content" =>
+        // the lineage/span sinks describe the strip/render pipeline, not
+        // the main-content output — silently writing them here would emit
+        // plausible-looking but meaningless tables
+        require(a.get("lineage").isEmpty && a.get("spans").isEmpty,
+          "--lineage/--spans apply to --mode extract only")
         ExtractJob.runResumableMainContent(spark, turns, out, buckets = buckets,
           metrics = Some(metrics))
       case other => sys.error(s"--mode must be extract or main-content, got '$other'")

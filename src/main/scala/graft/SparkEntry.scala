@@ -287,14 +287,15 @@ object SparkEntry {
       // each is computed once per row — spliced tokenizer expressions
       // inside higher-order lambdas re-evaluate per element (O(tokens²))
       val sh2 = col("sh2")
+      // lowercasing never changes whitespace boundaries, so the lowered
+      // token array serves both counts — one tokenizer pass per row
       docs(s, dir)
-        .withColumn("toks", TextOps.tokens(col("text")))
         .withColumn("ltoks", TextOps.tokens(lower(col("text"))))
         .withColumn("sh2", TextOps.shinglesOf(col("ltoks"), 2))
         .select(col("doc_id"),
           size(sh2).cast("long").as("n_bigrams"),
           size(array_distinct(sh2)).cast("long").as("n_distinct_bigrams"),
-          (size(col("toks")) - size(array_distinct(col("ltoks"))))
+          (size(col("ltoks")) - size(array_distinct(col("ltoks"))))
             .cast("long").as("n_repeated_tokens"))
         .orderBy("doc_id")
     }),
@@ -310,10 +311,9 @@ object SparkEntry {
       val symbolHeavy = col("n_punct") * 5 > length(col("text"))
       val repetitive = (col("n_bi") - col("n_dbi")) * 4 > col("n_bi")
       docs(s, dir)
-        .withColumn("toks", TextOps.tokens(col("text")))
         .withColumn("ltoks", TextOps.tokens(lower(col("text"))))
         .withColumn("sh2", TextOps.shinglesOf(col("ltoks"), 2))
-        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_tok", size(col("ltoks")))
         .withColumn("n_stop", TextOps.stopwordCountOf(col("ltoks")))
         .withColumn("n_punct", TextOps.punctCount(col("text")))
         .withColumn("n_bi", size(col("sh2")))
@@ -356,7 +356,12 @@ object SparkEntry {
 
     "q_dedup_clusters" -> ((s, dir) => {
       // pairs -> dedup groups: connected components over the verified
-      // near-dup pair list (min reachable id = cluster representative)
+      // near-dup pair list (min reachable id = cluster representative).
+      // Oracle-exactness rests on the same documented corpus property as
+      // q_dedup_minhash: organic jaccard is <0.2 and planted clusters are
+      // >=0.8, so no pair lands in the marginal [0.5, 0.7) band where
+      // 8-row/64-band LSH recall would be probabilistic — the candidate
+      // stage recovers the exact ground-truth edge set at every sf
       val pairs = DedupOps.minhashNearDups(docs(s, dir), "doc_id", "text",
         threshold = 0.5, numHashes = 512, bands = 64)
       val cc = DedupOps.connectedComponents(pairs.select("id_a", "id_b"))

@@ -96,14 +96,13 @@ object DedupOps {
 
   /** LSH band hashes of a signature column as an array<bigint> of length
     * `bands` (band b = xxhash64 of its signature slice, seeded by b). The
-    * signature expression is bound as a lambda variable first so it is
-    * evaluated once, not once per band (Catalyst splices lambda bodies
-    * without hoisting invariant subtrees — same trap as TextOps.shingles).
+    * signature expression is bound via [[TextOps.bindOnce]] so it is
+    * evaluated once, not once per band.
     */
   private def bandHashesOf(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    element_at(transform(array(sig), s =>
+    TextOps.bindOnce(sig)(s =>
       transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(s, b * rowsPerBand + 1, lit(rowsPerBand))), b))), 1)
+        b => xxhash64(concat_ws(",", slice(s, b * rowsPerBand + 1, lit(rowsPerBand))), b)))
 
   /** Band-explode a signature column into (id, band, bucket) rows. */
   private def bandExplode(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
@@ -386,6 +385,11 @@ object DedupOps {
       labels = updated
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
+        s"connectedComponents: maxIter=$maxIter reached with $changed labels still " +
+          "changing — result is a valid refinement, not the full component labeling " +
+          "(graph diameter exceeds the round cap)")
     edges.unpersist(blocking = false)
     labels.withColumnRenamed("label", "cluster")
   }

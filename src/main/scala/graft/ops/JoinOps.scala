@@ -23,14 +23,22 @@ object JoinOps {
     * Determinism: if several right rows share (key, ts), the one sorting
     * last by `valueCols` wins — dedupe the right side to unique (key, ts)
     * upstream when that matters (the DuckDB ASOF oracle requires it too).
+    *
+    * NULL semantics follow SQL ASOF: a right row with a NULL key or NULL
+    * ts can never match (it is dropped here — `partitionBy` would
+    * otherwise group NULL keys as a value and NULLS-FIRST ordering would
+    * make a NULL-ts right row every partition's "earliest checkpoint");
+    * left rows always pass through, with null values when nothing matches.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                valueCols: Seq[String]): DataFrame = {
     val rightTypes = valueCols.map(c => c -> right.schema(c).dataType).toMap
 
     // right rows sort BEFORE left rows at equal ts => inclusive as-of
-    val taggedRight = right.select(
-      (col(key) +: col(tsCol) +: valueCols.map(c => col(c).as(s"__r_$c"))): _*)
+    val taggedRight = right
+      .filter(col(key).isNotNull && col(tsCol).isNotNull)
+      .select(
+        (col(key) +: col(tsCol) +: valueCols.map(c => col(c).as(s"__r_$c"))): _*)
       .withColumn("__side", lit(0))
     val nullLeftFill = valueCols.map(c => lit(null).cast(rightTypes(c)).as(s"__r_$c"))
     val taggedLeft = left.select(

@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   * are bit-exact across engines.
   */
 object TextOps {
+  /** Bind `c` as a lambda variable and apply `f` to the bound reference —
+    * the evaluate-once idiom for higher-order functions. Catalyst splices
+    * lambda bodies verbatim and does NOT hoist invariant subtrees, so an
+    * expensive expression referenced inside `transform`/`filter` lambdas
+    * re-evaluates once PER ELEMENT (the O(tokens²) trap this round fixed);
+    * a lambda variable is evaluated once and read O(1). Use this whenever
+    * a non-trivial column feeds a lambda body.
+    */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Whitespace tokens; empty/blank input → empty array (not [""]). */
   def tokens(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
@@ -62,8 +73,7 @@ object TextOps {
     * highest wins; ties and zero hits → "und" (undetermined). Evaluation
     * order en→de→fr→es is part of the contract (mirrored in the oracle).
     */
-  def langId(c: Column): Column =
-    element_at(transform(array(tokens(lower(c))), ts => langIdOf(ts)), 1)
+  def langId(c: Column): Column = bindOnce(tokens(lower(c)))(langIdOf)
 
   /** [[langId]] over an already-bound lowercased token array column. */
   def langIdOf(ltoks: Column): Column = {
@@ -193,14 +203,11 @@ object TextOps {
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
 
-  /** Word k-shingles from raw text (native higher-order functions; no UDF).
-    *
-    * The tokenizer output is bound as a lambda variable via a one-element
-    * array wrap (`transform(array(tokens), ts => ...)`): lambda variables
-    * are evaluated once and read O(1), so the split runs once per row
-    * instead of once per shingle — the difference between O(n) and O(n²)
-    * per document.
+  /** Word k-shingles from raw text (native higher-order functions; no
+    * UDF): the tokenizer output is bound via [[bindOnce]] so the split
+    * runs once per row instead of once per shingle — the difference
+    * between O(n) and O(n²) per document.
     */
   def shingles(c: Column, k: Int): Column =
-    element_at(transform(array(tokens(lower(c))), ts => shinglesOf(ts, k)), 1)
+    bindOnce(tokens(lower(c)))(ts => shinglesOf(ts, k))
 }

@@ -30,4 +30,24 @@ class BenchGateSpec extends AnyFunSuite {
       s"queries without a bench baseline (add to Bench.recordedQuerySeconds " +
         s"and re-bench): ${missing.mkString(", ")}")
   }
+
+  test("bench evidence file covers every query at HEAD (no stale-artifact claims)") {
+    // the round-2 failure mode: a query lands after the last bench refresh
+    // and the committed evidence silently stops covering HEAD. This pins
+    // BENCH_local_r3.json to the full query set — adding a query without
+    // re-running Bench (and refreshing the artifact) fails here.
+    val f = new java.io.File("BENCH_local_r3.json")
+    assert(f.exists, "BENCH_local_r3.json missing from repo root")
+    val json = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    val benched = {
+      val it = json.get("queries").fieldNames()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val missing = SparkEntry.queries.keySet -- benched
+    assert(missing.isEmpty,
+      s"queries not covered by the committed bench artifact (re-run Bench and " +
+        s"refresh BENCH_local_r3.json): ${missing.mkString(", ")}")
+  }
 }

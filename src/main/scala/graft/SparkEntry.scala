@@ -243,9 +243,13 @@ object SparkEntry {
     }),
 
     "q_docs_langid" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-          TextOps.langId(col("text")).as("lang_guess"),
-          TextOps.stopwordCount(col("text"), "en").cast("long").as("n_stop_en"))
+      // token array materialized once; langIdOf/stopwordCountOf run over
+      // the bound column (the splice-per-consumer variant re-tokenizes)
+      docs(s, dir)
+        .withColumn("ltoks", TextOps.tokens(lower(col("text"))))
+        .select(col("doc_id"),
+          TextOps.langIdOf(col("ltoks")).as("lang_guess"),
+          TextOps.stopwordCountOf(col("ltoks")).cast("long").as("n_stop_en"))
         .orderBy("doc_id")
     }),
 

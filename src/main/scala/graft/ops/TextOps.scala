@@ -144,11 +144,18 @@ object TextOps {
     * integer signals). Penalizes very short docs, low stopword density, and
     * low type/token ratio — the usual cheap pretraining-corpus filters.
     */
-  def qualityScore(c: Column): Column = {
-    val nTok = tokenCount(c).cast("double")
+  def qualityScore(c: Column): Column = bindOnce(tokens(lower(c)))(qualityScoreOf)
+
+  /** [[qualityScore]] over an already-bound lowercased token array
+    * (token COUNT is case-insensitive — lowercasing never changes
+    * whitespace boundaries — so one lowered array serves all three
+    * signals).
+    */
+  def qualityScoreOf(ltoks: Column): Column = {
+    val nTok = size(ltoks).cast("double")
     val lenScore = least(nTok / lit(32.0), lit(1.0))
-    val stopScore = least(stopwordCount(c).cast("double") * lit(8.0) / greatest(nTok, lit(1.0)), lit(1.0))
-    val ttr = distinctTokenCount(c).cast("double") / greatest(nTok, lit(1.0))
+    val stopScore = least(stopwordCountOf(ltoks).cast("double") * lit(8.0) / greatest(nTok, lit(1.0)), lit(1.0))
+    val ttr = size(array_distinct(ltoks)).cast("double") / greatest(nTok, lit(1.0))
     round((lenScore + stopScore + least(ttr * lit(2.0), lit(1.0))) / lit(3.0), 4)
   }
 

@@ -26,6 +26,28 @@ object StreamingExtract {
     turns.mapPartitions(_.map(t => ExtractJob.extractTurn(t, cfg)))
   }
 
+  /** Main-content extraction on a stream: the same stateless map-side
+    * shape as [[extractStream]], applying the DOM-heuristic boilerplate
+    * removal per turn — batch/stream equality holds verbatim because both
+    * faces call the same pure core.
+    */
+  def mainContentStream(turns: Dataset[Turn],
+                        cfg: Map[String, TagAttributes] = Map.empty): Dataset[graft.pipeline.MainContentOut] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.mapPartitions(_.map { t =>
+      try graft.pipeline.MainContentOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
+        graft.core.ContentExtract.mainContent(t.text, cfg),
+        if (t.text == null) 0 else t.text.length, null)
+      catch {
+        case e: Throwable =>
+          graft.pipeline.MainContentOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
+            null, if (t.text == null) 0 else t.text.length,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    })
+  }
+
   /** Windowed per-conversation turn counts with a watermark: late turns
     * beyond `lateness` are dropped, state is bounded by the watermark.
     */

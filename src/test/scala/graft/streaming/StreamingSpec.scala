@@ -56,6 +56,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming main-content extraction equals the pure core per turn") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.mainContentStream(input.toDS())
+      .writeStream.format("memory").queryName("mc_stream_out")
+      .outputMode(OutputMode.Append()).start()
+
+    val pages = (0 until 200).map { i =>
+      val body = s"the main body of page $i " * 8
+      Turn(s"c${i % 10}", i / 10, "user",
+        s"""<html><body><header>Hdr</header><article>$body</article><footer>Ftr</footer></body></html>""",
+        "none", new java.sql.Timestamp(1700000000000L + i))
+    }
+    input.addData(pages: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("mc_stream_out")
+      .select("conv_id", "turn_idx", "main_text", "parse_error").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(streamed.size == 200)
+    pages.foreach { t =>
+      val expected = graft.core.ContentExtract.mainContent(t.text)
+      assert(streamed((t.conv_id, t.turn_idx)) == ((expected, null)), s"${t.conv_id}/${t.turn_idx}")
+      assert(!expected.contains("Hdr"))
+    }
+  }
+
   /** With ProcessingTimeTimeout active the engine keeps scheduling batches
     * to fire pending timeouts, so `processAllAvailable` never settles —
     * poll the sink with a deadline instead.

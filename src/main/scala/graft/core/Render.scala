@@ -31,6 +31,12 @@ object Render {
     require(predicate != null, "A transform predicate is required")
     val build = new java.lang.StringBuilder(doc.source.length * 2)
 
+    // index-based child loop: ArrayBuffer's inherited foreach goes through
+    // the generic iterator path (profiled ~10% of the whole pipeline)
+    def recurseAll(cs: scala.collection.mutable.ArrayBuffer[Node]): Unit = {
+      var i = 0
+      while (i < cs.length) { recurse(cs(i)); i += 1 }
+    }
     def recurse(node: Node): Unit = node match {
       case textNode: TextNode =>
         var text = textNode.body
@@ -45,7 +51,7 @@ object Render {
             // out as the body (single-builder variant of the reference's
             // per-node StringBuilder; output is identical).
             val mark = build.length
-            tagNode.children.foreach(recurse)
+            recurseAll(tagNode.children)
             val body = build.substring(mark)
             build.setLength(mark)
             val result =
@@ -65,7 +71,7 @@ object Render {
         }
     }
 
-    doc.children.foreach(recurse)
+    recurseAll(doc.children)
     build.toString
   }
 
@@ -78,25 +84,50 @@ object Render {
   def renderEscaped(doc: Doc, renderers: Map[String, TagRenderer],
                     offsets: Offsets, attributes: Map[String, TagAttributes]): String = {
     val build = new java.lang.StringBuilder(doc.source.length * 2)
+    // per-tag lookups run millions of times per second in the pipeline:
+    // a JDK HashMap + null check avoids the immutable-map descent and the
+    // Option allocation per tag (the registry is identical for the call)
+    val jRenderers = javaRegistry(renderers)
 
+    def recurseAll(cs: scala.collection.mutable.ArrayBuffer[Node]): Unit = {
+      var i = 0
+      while (i < cs.length) { recurse(cs(i)); i += 1 }
+    }
     def recurse(node: Node): Unit = node match {
       case textNode: TextNode =>
         Transform.escapeAppend(build, textNode, textNode.body, offsets, attributes)
       case tagNode: TagNode =>
-        renderers.get(TagAttributes.lookupKey(tagNode.name)) match {
-          case Some(renderer) =>
-            val mark = build.length
-            tagNode.children.foreach(recurse)
-            val body = build.substring(mark)
-            build.setLength(mark)
-            build.append(renderer(tagNode, body))
-          case None =>
-            build.append(tagNode.rawString)
+        val renderer = jRenderers.get(TagAttributes.lookupKey(tagNode.name))
+        if (renderer != null) {
+          val mark = build.length
+          recurseAll(tagNode.children)
+          val body = build.substring(mark)
+          build.setLength(mark)
+          build.append(renderer(tagNode, body))
+        } else {
+          build.append(tagNode.rawString)
         }
     }
 
-    doc.children.foreach(recurse)
+    recurseAll(doc.children)
     build.toString
+  }
+
+  /** JDK-map view of a renderer registry. Single-slot IDENTITY cache: the
+    * pipeline passes the same registry instance for every turn, so the
+    * common case is one reference comparison (keying a map by content
+    * would hash all entries per turn). The unsynchronized race is benign —
+    * a concurrent miss just rebuilds the same view.
+    */
+  @volatile private var cachedRegistryKey: AnyRef = null
+  @volatile private var cachedRegistryVal: java.util.HashMap[String, TagRenderer] = null
+  private def javaRegistry(renderers: Map[String, TagRenderer]): java.util.HashMap[String, TagRenderer] = {
+    if (cachedRegistryKey eq renderers) return cachedRegistryVal
+    val j = new java.util.HashMap[String, TagRenderer](renderers.size * 2)
+    renderers.foreach { case (k, v) => j.put(k, v) }
+    cachedRegistryVal = j
+    cachedRegistryKey = renderers
+    j
   }
 }
 

@@ -56,6 +56,20 @@ object Transform {
     }
     var i = 0
     while (i < len) {
+      // clean-run fast path: bulk-append the maximal escapable-free slice
+      // (most text contains no escapables; per-char append dominated the
+      // escape cost in pipeline profiles)
+      var j = i
+      var c0 = 0: Char
+      while (j < len && {
+        c0 = original.charAt(j)
+        c0 != '&' && c0 != '<' && c0 != '>' && c0 != '"' && c0 != '\n' && c0 != '\r'
+      }) j += 1
+      if (j > i) {
+        build.append(original, i, j)
+        i = j
+      }
+      if (i >= len) return
       (original.charAt(i): @annotation.switch) match {
         case '&' =>
           build.append("&amp;")
@@ -104,6 +118,12 @@ object Transform {
                     consumer: NodeConsumer = null): String = {
     val build = new java.lang.StringBuilder(doc.source.length)
 
+    // index-based child loop: ArrayBuffer's inherited foreach goes through
+    // the generic iterator path (profiled ~10% of the whole pipeline)
+    def recurseAll(cs: scala.collection.mutable.ArrayBuffer[Node]): Unit = {
+      var i = 0
+      while (i < cs.length) { recurse(cs(i)); i += 1 }
+    }
     def recurse(node: Node): Unit = node match {
       case textNode: TextNode =>
         var text = textNode.body
@@ -111,11 +131,11 @@ object Transform {
         if (consumer != null) consumer(textNode, text, text)
         build.append(text)
       case tagNode: TagNode =>
-        if (predicate(tagNode)) tagNode.children.foreach(recurse)
+        if (predicate(tagNode)) recurseAll(tagNode.children)
         else build.append(tagNode.rawString)
     }
 
-    doc.children.foreach(recurse)
+    recurseAll(doc.children)
     build.toString
   }
 }

@@ -209,8 +209,80 @@ object SimOps {
     }
   }
 
+  /** A built IVF index: the coarse centroids plus the corpus with its cell
+    * assignment (`neighbor_id`, `cv`, `cell`). Build once with
+    * [[buildIvfIndex]], persist with [[writeIvfIndex]] (parquet partitioned
+    * BY CELL, so reopened indexes serve queries with partition-pruned
+    * scans), query many times with [[ivfQuery]].
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Build the IVF index: deterministic seeds → `refineIters` k-means
+    * rounds → map-side cell assignment. Corpus passes: 1 (seed) +
+    * `refineIters` + 1 (assign), all shuffle-free.
+    */
+  def buildIvfIndex(corpus: DataFrame, nCells: Int = 16, refineIters: Int = 1,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    var centroids = seedCentroids(c, nCells)
+    for (_ <- 1 to refineIters) centroids = refineCentroids(c, centroids)
+    IvfIndex(centroids, assignCells(c, centroids))
+  }
+
+  /** Persist an index: the assigned corpus as parquet PARTITIONED BY cell
+    * (each cell is its own directory — the on-disk inverted file), the
+    * centroid matrix as a small JSON sidecar.
+    */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val json = index.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val spark = index.assigned.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val centroids = json.stripPrefix("[").stripSuffix("]").split("\\],\\[")
+      .map(_.replaceAll("[\\[\\]]", "").split(",").map(_.toDouble))
+    IvfIndex(centroids, spark.read.parquet(s"$path/cells"))
+  }
+
+  /** Query a built index: route each query to its `nprobe` nearest cells,
+    * statically prune the index to exactly those cells (an on-disk index
+    * reads ONLY the probed cell partitions — `PartitionFilters` in the
+    * scan), broadcast-join, bounded-heap top-k merge.
+    */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val probeUdf = udf { (v: Seq[Float]) => topCells(bc.value, v, nprobe) }
+    val routed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+
+    // static partition pruning: the probed cell set is bounded by
+    // queries×nprobe (the query side is broadcast-sized by contract)
+    val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = index.assigned.filter(col("cell").isin(probedCells: _*))
+
+    val scored = broadcast(routed).join(pruned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** IVF (inverted-file) approximate top-k: coarse centroids partition the
     * corpus into cells; a query scans only its `nprobe` nearest cells.
+    * One-shot convenience over [[buildIvfIndex]] + [[ivfQuery]].
     *
     * Corpus passes: 1 (seed) + `refineIters` (k-means) + 1 (assign+scan) —
     * each a map-side pass with no corpus shuffle; the only shuffle in the
@@ -219,28 +291,9 @@ object SimOps {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              refineIters: Int = 1): DataFrame = {
-    val spark = corpus.sparkSession
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    var centroids = seedCentroids(c, nCells)
-    for (_ <- 1 to refineIters) centroids = refineCentroids(c, centroids)
-
-    val assigned = assignCells(c, centroids)
-
-    // route each query to its nprobe nearest cells (map-side, tiny side)
-    val bc = spark.sparkContext.broadcast(centroids)
-    val probeUdf = udf { (v: Seq[Float]) => topCells(bc.value, v, nprobe) }
-    val routed = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(probeUdf(col("qv")))))
-
-    // scan only the probed cells; bounded-heap top-k merge
-    val scored = routed.join(assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-    topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
-      .select("query_id", "neighbor_id", "rank", "sim")
-  }
+              refineIters: Int = 1): DataFrame =
+    ivfQuery(buildIvfIndex(corpus, nCells, refineIters, idCol, vecCol),
+      queries, k, nprobe, idCol, vecCol)
 
   /** LSH-bucketed approximate top-k: join queries to corpus rows sharing
     * the same `bits`-bit hyperplane signature, rank by exact cosine within

@@ -106,6 +106,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(3L)._1 == 0 && r(3L)._3 == 0)
   }
 
+  test("IVF index build/write/read/query: reopened index answers identically with partition-pruned scans") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val corpus = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+
+    val direct = SimOps.ivfTopK(queries, corpus, k = 3, nCells = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val index = SimOps.buildIvfIndex(corpus, nCells = 8)
+    SimOps.writeIvfIndex(index, dir)
+    val reopened = SimOps.readIvfIndex(spark, dir)
+    assert(reopened.centroids.length == index.centroids.length)
+    assert(reopened.centroids.flatten.toSeq == index.centroids.flatten.toSeq)
+
+    val result = SimOps.ivfQuery(reopened, queries, k = 3, nprobe = 3)
+    val viaDisk = result.collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(viaDisk == direct)
+
+    // the on-disk index must serve the query with partition-pruned scans:
+    // only the probed cell directories are read
+    val plan = result.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition pruning in the index scan:\n$plan")
+  }
+
   test("shingles: k-grams, short docs yield empty array") {
     val df = spark.createDataFrame(Seq((1L, "a b c d"), (2L, "a b"), (3L, ""))).toDF("id", "t")
     val r = df.select(col("id"), TextOps.shingles(col("t"), 3).as("sh"))

@@ -113,22 +113,28 @@ object Render {
     build.toString
   }
 
-  /** JDK-map view of a renderer registry. Single-slot IDENTITY cache: the
-    * pipeline passes the same registry instance for every turn, so the
-    * common case is one reference comparison (keying a map by content
-    * would hash all entries per turn). The unsynchronized race is benign —
-    * a concurrent miss just rebuilds the same view.
+  /** JDK-map view of a renderer registry, cached per registry INSTANCE
+    * (identity keys: content-equality keys would hash all 27 entries per
+    * turn; a single mutable slot would race when two registries are live
+    * concurrently and could hand one caller the other's map). Registries
+    * are long-lived singletons in practice (BBCodeToHtml.renderers), so
+    * the cache stays tiny.
     */
-  @volatile private var cachedRegistryKey: AnyRef = null
-  @volatile private var cachedRegistryVal: java.util.HashMap[String, TagRenderer] = null
-  private def javaRegistry(renderers: Map[String, TagRenderer]): java.util.HashMap[String, TagRenderer] = {
-    if (cachedRegistryKey eq renderers) return cachedRegistryVal
-    val j = new java.util.HashMap[String, TagRenderer](renderers.size * 2)
-    renderers.foreach { case (k, v) => j.put(k, v) }
-    cachedRegistryVal = j
-    cachedRegistryKey = renderers
-    j
+  private final class IdentityKey(val ref: AnyRef) {
+    override def hashCode: Int = System.identityHashCode(ref)
+    override def equals(o: Any): Boolean = o match {
+      case k: IdentityKey => k.ref eq ref
+      case _ => false
+    }
   }
+  private val registryCache =
+    new java.util.concurrent.ConcurrentHashMap[IdentityKey, java.util.HashMap[String, TagRenderer]]()
+  private def javaRegistry(renderers: Map[String, TagRenderer]): java.util.HashMap[String, TagRenderer] =
+    registryCache.computeIfAbsent(new IdentityKey(renderers), { _ =>
+      val j = new java.util.HashMap[String, TagRenderer](renderers.size * 2)
+      renderers.foreach { case (k, v) => j.put(k, v) }
+      j
+    })
 }
 
 /** The built-in BBCode→HTML registry: 27 tag registrations over 25 distinct

@@ -264,13 +264,21 @@ object SimOps {
     val spark = index.assigned.sparkSession
     val bc = spark.sparkContext.broadcast(index.centroids)
     val probeUdf = udf { (v: Seq[Float]) => topCells(bc.value, v, nprobe) }
-    val routed = queries
+    // Materialize the routed query side ONCE (it is broadcast-sized by
+    // contract): the collected rows feed both the probed-cell set and the
+    // join, so a non-deterministic `queries` frame cannot route to cells
+    // the pruning filter dropped, and no lineage is evaluated twice.
+    val routedPlan = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
+    val routedRows = routedPlan.collect()
+    val routed = spark.createDataFrame(
+      java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
 
-    // static partition pruning: the probed cell set is bounded by
-    // queries×nprobe (the query side is broadcast-sized by contract)
-    val probedCells = routed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    // static partition pruning: an on-disk index reads only the probed
+    // cell directories (PartitionFilters); harmless no-op vs the equi-join
+    // for an in-memory index
+    val probedCells = routedRows.map(_.getAs[Int]("cell")).distinct.toSeq
     val pruned = index.assigned.filter(col("cell").isin(probedCells: _*))
 
     val scored = broadcast(routed).join(pruned, Seq("cell"))

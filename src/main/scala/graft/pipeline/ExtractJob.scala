@@ -196,6 +196,21 @@ object ExtractJob {
       extractMainContent(pending, cfg, metrics).toDF()
     }
 
+  /** Core per-turn main-content transform — pure; shared by the batch and
+    * streaming faces so per-turn equality between them holds by
+    * construction (same contract as [[extractTurn]]).
+    */
+  def mainContentTurn(t: Turn, cfg: Map[String, TagAttributes]): MainContentOut =
+    try MainContentOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
+      ContentExtract.mainContent(t.text, cfg),
+      if (t.text == null) 0 else t.text.length, null)
+    catch {
+      case e: Throwable =>
+        MainContentOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
+          null, if (t.text == null) 0 else t.text.length,
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
   /** Main-content extraction stage: per-turn `ContentExtract.mainContent`
     * inside `mapPartitions` — same zero-shuffle hot-stage shape and metrics
     * plumbing as [[extract]].
@@ -210,16 +225,7 @@ object ExtractJob {
       var n = 0L
       var errs = 0L
       val out = iter.map { t =>
-        val r =
-          try MainContentOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
-            ContentExtract.mainContent(t.text, resolvedCfg),
-            if (t.text == null) 0 else t.text.length, null)
-          catch {
-            case e: Throwable =>
-              MainContentOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
-                null, if (t.text == null) 0 else t.text.length,
-                s"${e.getClass.getSimpleName}: ${e.getMessage}")
-          }
+        val r = mainContentTurn(t, resolvedCfg)
         n += 1
         if (r.parse_error != null) errs += 1
         r

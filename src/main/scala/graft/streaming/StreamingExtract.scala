@@ -35,17 +35,7 @@ object StreamingExtract {
                         cfg: Map[String, TagAttributes] = Map.empty): Dataset[graft.pipeline.MainContentOut] = {
     val spark = turns.sparkSession
     import spark.implicits._
-    turns.mapPartitions(_.map { t =>
-      try graft.pipeline.MainContentOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
-        graft.core.ContentExtract.mainContent(t.text, cfg),
-        if (t.text == null) 0 else t.text.length, null)
-      catch {
-        case e: Throwable =>
-          graft.pipeline.MainContentOut(t.conv_id, t.turn_idx, t.role, t.tool, t.ts,
-            null, if (t.text == null) 0 else t.text.length,
-            s"${e.getClass.getSimpleName}: ${e.getMessage}")
-      }
-    })
+    turns.mapPartitions(_.map(t => ExtractJob.mainContentTurn(t, cfg)))
   }
 
   /** Windowed per-conversation turn counts with a watermark: late turns

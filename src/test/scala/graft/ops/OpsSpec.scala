@@ -127,10 +127,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaDisk == direct)
 
     // the on-disk index must serve the query with partition-pruned scans:
-    // only the probed cell directories are read
+    // only the probed cell directories are read — a NON-EMPTY
+    // PartitionFilters list naming cell (the bare `PartitionFilters: []`
+    // that every file scan prints must not satisfy this)
     val plan = result.queryExecution.executedPlan.toString()
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
-      s"expected cell partition pruning in the index scan:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"expected a non-empty cell partition filter in the index scan:\n$plan")
   }
 
   test("shingles: k-grams, short docs yield empty array") {

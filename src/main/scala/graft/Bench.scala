@@ -25,7 +25,7 @@ object Bench {
   val recordedQuerySeconds: Map[String, Double] = Map(
     // measured in BENCH_local_r3.json (solo run at HEAD), +30% margin
     "q_agg_pricing" -> 3.4, "q_ann_ivf" -> 2.8, "q_ann_lsh" -> 1.3,
-    "q_ann_top1" -> 1.8, "q_ann_topk" -> 1.7, "q_anti_join" -> 0.6,
+    "q_ann_top1" -> 1.8, "q_ann_ivf_disk" -> 5.0, "q_ann_topk" -> 1.7, "q_anti_join" -> 0.6,
     "q_asof_join" -> 1.6, "q_cube_orders" -> 1.1, "q_dates" -> 0.4,
     "q_dedup_clusters" -> 12.1, "q_dedup_embedding" -> 3.3, "q_dedup_exact" -> 0.6,
     "q_dedup_minhash" -> 5.9, "q_dedup_simhash" -> 2.9, "q_docs_bpe_tokens" -> 0.5,

@@ -614,6 +614,18 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "q_ann_ivf_disk" -> ((s, dir) => {
+      // the index-once/query-many path end-to-end: build, write parquet
+      // partitioned by cell, reopen, query with partition-pruned scans —
+      // same planted-twin recall oracle as q_ann_ivf
+      val e = emb(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+      SimOps.writeIvfIndex(SimOps.buildIvfIndex(e, nCells = 16), tmp)
+      SimOps.ivfQuery(SimOps.readIvfIndex(s, tmp), twinQueries(e), k = 1, nprobe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id")
+    }),
+
     "q_ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       SimOps.bruteForceTopK(e.filter(col("vec_id") < 25), e, k = 3)
@@ -1112,6 +1124,10 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 25 ORDER BY 1""".stripMargin,
 
     "q_ann_ivf" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, cast(1 AS int) AS rank
+        |FROM embeddings WHERE vec_id < 25 ORDER BY 1""".stripMargin,
+
+    "q_ann_ivf_disk" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, cast(1 AS int) AS rank
         |FROM embeddings WHERE vec_id < 25 ORDER BY 1""".stripMargin,
 

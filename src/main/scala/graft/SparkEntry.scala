@@ -373,6 +373,24 @@ object SparkEntry {
       cc.select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
     }),
 
+    "q_docs_top_term" -> ((s, dir) => {
+      // retrieval-style term statistics: each doc's highest-tf token
+      // (ties -> lexicographically first) joined back to that token's
+      // corpus document frequency. Scale shape: explode -> two-level
+      // partial agg (tf per (doc, token), df per token) -> broadcast-able
+      // join back; all integer/string outputs so the oracle is hash-exact
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val top = tf.withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("tf").desc, col("token"))))
+        .filter(col("rn") === 1).drop("rn")
+      top.join(df, "token")
+        .select(col("doc_id"), col("token").as("top_term"), col("tf"), col("df"))
+        .orderBy("doc_id")
+    }),
+
     "q_vocab_top" -> ((s, dir) => {
       // vocabulary building for tokenizer training: explode tokens, count,
       // rank — partial aggregation collapses token counts map-side, so the
@@ -830,6 +848,19 @@ object SparkEntry {
         |    AND NOT (n_punct * 5 > length(text))
         |    AND NOT ((len(bi) - len(list_distinct(bi))) * 4 > len(bi)) AS keep
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_docs_top_term" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |              FROM documents WHERE trim(text) <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |top AS (SELECT doc_id, token, tf FROM (
+        |  SELECT doc_id, token, tf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS rn
+        |  FROM tf) t WHERE rn = 1)
+        |SELECT top.doc_id, top.token AS top_term, top.tf, df.df
+        |FROM top JOIN df ON top.token = df.token
+        |ORDER BY top.doc_id""".stripMargin,
 
     "q_vocab_top" ->
       """SELECT token, count(*) AS freq

@@ -31,7 +31,7 @@ object Bench {
     "q_dedup_minhash" -> 5.9, "q_dedup_simhash" -> 2.9, "q_docs_bpe_tokens" -> 0.5,
     "q_docs_filter_flags" -> 1.6, "q_docs_fingerprint" -> 0.7, "q_docs_langid" -> 1.8,
     "q_docs_pii" -> 1.4, "q_docs_quality" -> 0.8, "q_docs_quality_score" -> 0.9,
-    "q_docs_repetition" -> 1.3, "q_docs_rollhash" -> 0.3, "q_docs_tokens" -> 0.6, "q_docs_top_term" -> 2.0,
+    "q_docs_repetition" -> 1.3, "q_docs_rollhash" -> 0.3, "q_docs_tokens" -> 0.6, "q_docs_top_term" -> 2.0, "q_contamination" -> 6.3, "q_docs_chunks" -> 1.5,
     "q_escape_constructed" -> 0.4, "q_events_daily" -> 0.5, "q_filter_dates" -> 0.3,
     "q_having_custs" -> 0.4, "q_html_main_content" -> 0.6, "q_html_strip_constructed" -> 0.6,
     "q_join_segment_sales" -> 0.9, "q_json_events" -> 1.0, "q_langid_ngram" -> 0.8,

@@ -373,6 +373,41 @@ object SparkEntry {
       cc.select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
     }),
 
+    "q_contamination" -> ((s, dir) => {
+      // train/benchmark decontamination: docs sharing a word 5-gram with
+      // the held-out "benchmark" slice (doc_id % 5 == 0). String-keyed
+      // variant so the oracle is exact; the hashed variant (8-byte keys,
+      // the 100 TB shape) is asserted equal in OpsSpec
+      val d = docs(s, dir)
+      DedupOps.contamination(
+          d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 5, hashed = false)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    "q_docs_chunks" -> ((s, dir) => {
+      // context-window chunking: split each doc's token stream into
+      // 32-token windows with stride 24 (8-token overlap) — the
+      // explode-shaped stage that feeds tokenizer/packing pipelines; all
+      // integer arithmetic, mirrored exactly in SQL
+      val nt = col("n_tok")
+      // `div` = integer division (Spark's `/` on ints yields double)
+      val nChunks = expr(
+        "CASE WHEN n_tok <= 0 THEN 0 WHEN n_tok <= 32 THEN 1 " +
+          "ELSE 1 + ((n_tok - 9) div 24) END")
+      docs(s, dir)
+        .withColumn("n_tok", TextOps.tokenCount(col("text")))
+        // guard: Spark's sequence(0, -1) is a DESCENDING [0,-1], not empty
+        .withColumn("chunk_idx", explode(when(nChunks > 0,
+          sequence(lit(0), nChunks.cast("int") - 1))
+          .otherwise(array().cast("array<int>"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * 24).as("tok_start"),
+          least(nt, col("chunk_idx") * 24 + 32).as("tok_end"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q_docs_top_term" -> ((s, dir) => {
       // retrieval-style term statistics: each doc's highest-tf token
       // (ties -> lexicographically first) joined back to that token's
@@ -848,6 +883,36 @@ object SparkEntry {
         |    AND NOT (n_punct * 5 > length(text))
         |    AND NOT ((len(bi) - len(list_distinct(bi))) * 4 > len(bi)) AS keep
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN CAST([] AS varchar[])
+        |    ELSE list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END) AS sh
+        |  FROM t),
+        |b AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 5 = 0),
+        |tr AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE doc_id % 5 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_hits
+        |FROM tr JOIN b ON tr.s = b.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_docs_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        |  FROM documents),
+        |c AS (SELECT doc_id, nt,
+        |    CASE WHEN nt <= 0 THEN 0 WHEN nt <= 32 THEN 1
+        |         ELSE 1 + (nt - 9) // 24 END AS n_chunks
+        |  FROM t)
+        |SELECT doc_id, cast(chunk_idx AS int) AS chunk_idx,
+        |  cast(chunk_idx * 24 AS int) AS tok_start,
+        |  cast(least(nt, chunk_idx * 24 + 32) AS int) AS tok_end
+        |FROM (SELECT doc_id, nt, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_docs_top_term" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

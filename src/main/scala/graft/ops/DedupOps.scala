@@ -394,6 +394,39 @@ object DedupOps {
     labels.withColumnRenamed("label", "cluster")
   }
 
+  /** Benchmark-contamination detection: training documents that share at
+    * least one word `k`-gram with the benchmark corpus, with the count of
+    * distinct shared k-grams per document — the standard train/eval
+    * decontamination check (13-gram overlap in the usual setups).
+    *
+    * Scale shape: the benchmark side (small by nature) is reduced to its
+    * distinct shingle set and BROADCAST; the training corpus streams once
+    * map-side through the join — no all-pairs comparison, no corpus
+    * shuffle. With `hashed = true` (the 100 TB default) both sides carry
+    * 8-byte xxhash64 shingle keys instead of strings (collision odds
+    * ~n²/2⁶⁴ — a false hit flags a doc for manual review, the right
+    * failure direction for decontamination); `hashed = false` keeps exact
+    * strings (used by the SQL-oracled query).
+    */
+  def contamination(train: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int = 13, hashed: Boolean = true): DataFrame = {
+    def shingleRows(df: DataFrame, withId: Boolean): DataFrame = {
+      val base = df.withColumn("__sh",
+        array_distinct(TextOps.shingles(col(textCol), k)))
+      val key = if (hashed) xxhash64(col("s")) else col("s")
+      val exploded = base.select(
+        (if (withId) Seq(col(idCol).as("id")) else Seq.empty) :+
+          explode(col("__sh")).as("s"): _*)
+      exploded.select((if (withId) Seq(col("id")) else Seq.empty) :+ key.as("sh"): _*)
+    }
+    val benchSet = shingleRows(bench, withId = false).distinct()
+    shingleRows(train, withId = true)
+      .join(broadcast(benchSet), "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
+  }
+
   /** 64-bit SimHash over token hashes: for each bit, sum ±1 weights over
     * tokens and take the sign. One-pass typed UDF for the same codegen-
     * width reason as [[minhashSignature]].

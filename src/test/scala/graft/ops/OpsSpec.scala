@@ -135,6 +135,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a non-empty cell partition filter in the index scan:\n$plan")
   }
 
+  test("contamination: hashed and string-keyed variants agree; planted overlap found") {
+    // planted docs (1000+i copies of i with one word appended) share
+    // nearly all 5-grams with their originals: put originals in "bench"
+    val bench = docsDf.filter(col("doc_id") < 30)
+    val train = docsDf.filter(col("doc_id") >= 1000)
+    val exact = DedupOps.contamination(train, bench, "doc_id", "text", k = 5, hashed = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hashed = DedupOps.contamination(train, bench, "doc_id", "text", k = 5, hashed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == hashed)
+    // every planted copy of a bench doc must be flagged with many hits
+    (0 until 30).foreach { i =>
+      assert(exact.getOrElse(1000L + i, 0L) > 20, s"planted ${1000 + i} not flagged")
+    }
+  }
+
   test("shingles: k-grams, short docs yield empty array") {
     val df = spark.createDataFrame(Seq((1L, "a b c d"), (2L, "a b"), (3L, ""))).toDF("id", "t")
     val r = df.select(col("id"), TextOps.shingles(col("t"), 3).as("sh"))

@@ -143,6 +143,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("contamination plans a broadcast join: the corpus side never shuffles") {
+    import graft.ops.DedupOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val df = DedupOps.contamination(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", k = 5)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"contamination join degraded to a corpus shuffle:\n$plan")
+  }
+
   test("AQE splits the skewed join partition on the generator's planted 100x conversation") {
     import org.apache.spark.sql.functions._
     // conv 0 carries ~half the rows of a 30k-turn block; join turns to

@@ -71,6 +71,11 @@ object ExtractMain {
         // plausible-looking but meaningless tables
         require(a.get("lineage").isEmpty && a.get("spans").isEmpty,
           "--lineage/--spans apply to --mode extract only")
+        // main-content always runs the HTML ContentExtract config; a
+        // --markup flag here would be silently ignored — reject it like
+        // --lineage/--spans instead of letting the user believe it applied
+        require(a.get("markup").isEmpty,
+          "--markup applies to --mode extract only (main-content is HTML-only)")
         ExtractJob.runResumableMainContent(spark, turns, out, buckets = buckets,
           metrics = Some(metrics))
       case other => sys.error(s"--mode must be extract or main-content, got '$other'")

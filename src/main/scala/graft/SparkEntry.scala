@@ -373,6 +373,31 @@ object SparkEntry {
       cc.select(col("id").as("doc_id"), col("cluster")).orderBy("doc_id")
     }),
 
+    "q_dedup_keepers" -> ((s, dir) => {
+      // the end-to-end keeper composition a pretraining pipeline consumes:
+      // near-dup pairs -> connected components -> per-cluster min-id
+      // keeper -> filtered survivor corpus. Same recall-calibrated LSH
+      // parameters (and the same corpus bimodality argument) as
+      // q_dedup_clusters, so the survivor set is SQL-derivable
+      DedupOps.dedupCorpus(docs(s, dir), "doc_id", "text",
+          threshold = 0.5, numHashes = 512, bands = 64)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q_contamination_spans" -> ((s, dir) => {
+      // decontamination audit evidence: every (train doc, token position)
+      // whose 5-gram appears in the benchmark slice — the per-hit review
+      // table behind q_contamination's counts (string-keyed so the oracle
+      // is exact; positions are integer-exact shingle-index math)
+      val d = docs(s, dir)
+      DedupOps.contaminationSpans(
+          d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 5, hashed = false)
+        .select(col("id").as("doc_id"), col("pos"), col("sh").as("shingle"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "q_contamination" -> ((s, dir) => {
       // train/benchmark decontamination: docs sharing a word 5-gram with
       // the held-out "benchmark" slice (doc_id % 5 == 0). String-keyed
@@ -679,6 +704,19 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "q_ann_lsh_disk" -> ((s, dir) => {
+      // LSH index-once/query-many path end-to-end: build signatures, write
+      // parquet partitioned by signature bucket, reopen, query with
+      // partition-pruned scans — same planted-twin recall oracle as
+      // q_ann_lsh (the disk round-trip must not change a single answer)
+      val e = emb(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_q").toString
+      SimOps.writeLshIndex(SimOps.buildLshIndex(e, bits = 6), tmp)
+      SimOps.lshQuery(SimOps.readLshIndex(s, tmp), twinQueries(e), k = 1)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id")
+    }),
+
     "q_ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       SimOps.bruteForceTopK(e.filter(col("vec_id") < 25), e, k = 3)
@@ -898,6 +936,45 @@ object SparkEntry {
         |SELECT tr.doc_id, count(*) AS n_hits
         |FROM tr JOIN b ON tr.s = b.s
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_contamination_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN CAST([] AS varchar[])
+        |    ELSE list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END AS sh
+        |  FROM t),
+        |b AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 5 = 0),
+        |tr AS (SELECT doc_id, unnest(range(1, len(sh) + 1)) AS i, sh
+        |       FROM s WHERE doc_id % 5 <> 0),
+        |tp AS (SELECT doc_id, cast(i - 1 AS int) AS pos, sh[i] AS shingle FROM tr)
+        |SELECT tp.doc_id, tp.pos, tp.shingle
+        |FROM tp JOIN b ON tp.shingle = b.s
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_keepers" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(regexp_split_to_array(trim(lower(text)),'\s+')) - 1),
+        |    i -> regexp_split_to_array(trim(lower(text)),'\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(lower(text)),'\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(lower(text)),'\s+')[i+2])) AS sh
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM t),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter,
+        |             any_value(a.n) AS na, any_value(b.n) AS nb
+        |      FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT ia AS a, ib AS b FROM p WHERE inter * 1.0 / (na + nb - inter) >= 0.5),
+        |ed AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.id),
+        |cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+        |SELECT d.doc_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+        |WHERE cl.id IS NULL OR cl.cluster = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_docs_chunks" ->
       """WITH t AS (SELECT doc_id,
@@ -1216,6 +1293,10 @@ object SparkEntry {
         |FROM documents ORDER BY 1""".stripMargin,
 
     "q_ann_lsh" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, cast(1 AS int) AS rank
+        |FROM embeddings WHERE vec_id < 25 ORDER BY 1""".stripMargin,
+
+    "q_ann_lsh_disk" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, cast(1 AS int) AS rank
         |FROM embeddings WHERE vec_id < 25 ORDER BY 1""".stripMargin,
 

@@ -127,14 +127,24 @@ object Render {
       case _ => false
     }
   }
+  /** Size bound: registries are long-lived singletons in practice, so the
+    * cache never grows past a handful of entries — but strong identity keys
+    * would leak forever in a long-lived executor if a caller constructed a
+    * fresh registry per call. On overflow the whole (tiny) cache is cleared
+    * and rebuilt lazily: an O(27-entry) rebuild per lookup in the
+    * pathological registry-per-call case, zero cost in the normal one.
+    */
+  private val registryCacheMax = 64
   private val registryCache =
     new java.util.concurrent.ConcurrentHashMap[IdentityKey, java.util.HashMap[String, TagRenderer]]()
-  private def javaRegistry(renderers: Map[String, TagRenderer]): java.util.HashMap[String, TagRenderer] =
+  private def javaRegistry(renderers: Map[String, TagRenderer]): java.util.HashMap[String, TagRenderer] = {
+    if (registryCache.size > registryCacheMax) registryCache.clear()
     registryCache.computeIfAbsent(new IdentityKey(renderers), { _ =>
       val j = new java.util.HashMap[String, TagRenderer](renderers.size * 2)
       renderers.foreach { case (k, v) => j.put(k, v) }
       j
     })
+  }
 }
 
 /** The built-in BBCode→HTML registry: 27 tag registrations over 25 distinct

@@ -352,21 +352,53 @@ object DedupOps {
     * The returned frame is backed by the final round's (materialized)
     * checkpoint — small (two longs per vertex) and freed with the session.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          strict: Boolean = false,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val r = connectedComponentsStatus(pairs, maxIter, checkpointDir)
+    if (strict)
+      require(r.converged,
+        s"connectedComponents: maxIter=$maxIter reached before convergence — " +
+          "the labeling is a valid refinement but NOT the full component " +
+          "labeling; raise maxIter or drop strict to accept the refinement")
+    r.labels
+  }
+
+  /** Labeling plus convergence status: `converged = false` means `maxIter`
+    * was hit while labels were still changing (the result is a valid
+    * refinement — every label is some reachable id — but long chains may
+    * not have fully collapsed). Callers that must not silently accept a
+    * partial labeling check this field or use `connectedComponents(strict
+    * = true)`.
+    */
+  final case class CcResult(labels: DataFrame, converged: Boolean, iterations: Int)
+
+  def connectedComponentsStatus(pairs: DataFrame, maxIter: Int = 20,
+                                checkpointDir: Option[String] = None): CcResult = {
+    val spark = pairs.sparkSession
+    // Lineage truncation per round is mandatory (see below); the flavor is
+    // a deployment choice: `localCheckpoint` (executor-local blocks, fast,
+    // lost with an executor) for single-box / ephemeral runs, reliable
+    // `checkpoint` (HDFS/object store) so a 1000-executor cluster recovers
+    // rounds instead of restarting the whole loop on executor loss.
+    val truncate: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Each round's result is localCheckpoint'ed (eager): without lineage
+    // Each round's result is checkpointed (eager): without lineage
     // TRUNCATION the logical plan triples per iteration and Catalyst
     // analysis/optimization time grows exponentially — the classic
     // iterative-DataFrame trap (measured 41 s for a 500-vertex graph with
-    // persist() alone; ~2 s with checkpointing). At cluster scale swap for
-    // reliable `checkpoint()` so lost executors can recover rounds.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // persist() alone; ~2 s with checkpointing).
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
 
     var changed = 1L
     var iter = 0
@@ -374,11 +406,10 @@ object DedupOps {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy("src").agg(min(col("nlabel")).as("nmin"))
-      val updated = labels
+      val updated = truncate(labels
         .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
       changed = updated
         .join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old")).count()
@@ -391,7 +422,39 @@ object DedupOps {
           "changing — result is a valid refinement, not the full component labeling " +
           "(graph diameter exceeds the round cap)")
     edges.unpersist(blocking = false)
-    labels.withColumnRenamed("label", "cluster")
+    CcResult(labels.withColumnRenamed("label", "cluster"), changed == 0, iter)
+  }
+
+  /** End-to-end dedup "keeper" composition — the form a pretraining
+    * pipeline actually consumes: near-dup pairs → connected components →
+    * per-cluster min-id keeper → the filtered survivor corpus (all of
+    * `df`'s columns, minus every non-keeper cluster member).
+    *
+    * Scale shape: the pair and clustering stages are the shuffle-minimal
+    * [[minhashNearDups]] / [[connectedComponents]] plans; the final filter
+    * is an anti-join of the corpus against the LOSER id set (cluster
+    * members that are not their cluster's min id) — losers are a small
+    * fraction of the corpus by construction (only near-duplicate docs),
+    * and the loser frame is two longs per row, so AQE turns the anti-join
+    * into a broadcast for any realistic dup rate; the corpus itself
+    * streams map-side and its text never crosses an exchange.
+    *
+    * Clustering runs `strict = true`: silently dropping *keepers* because
+    * label propagation had not converged would corrupt the corpus, so an
+    * unconverged graph fails fast instead.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8, k: Int = 3,
+                  numHashes: Int = 64, bands: Int = 16,
+                  maxBucket: Int = Int.MaxValue, maxIter: Int = 20,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold, k, numHashes, bands, maxBucket)
+    val cc = connectedComponents(pairs.select("id_a", "id_b"), maxIter,
+      strict = true, checkpointDir = checkpointDir)
+    pairs.unpersist(blocking = false)
+    val losers = cc.filter(col("cluster") =!= col("id"))
+      .select(col("id").as("__loser_id"))
+    df.join(losers, col(idCol) === col("__loser_id"), "left_anti")
   }
 
   /** Benchmark-contamination detection: training documents that share at
@@ -407,24 +470,74 @@ object DedupOps {
     * ~n²/2⁶⁴ — a false hit flags a doc for manual review, the right
     * failure direction for decontamination); `hashed = false` keeps exact
     * strings (used by the SQL-oracled query).
+    *
+    * The broadcast is GUARDED, not assumed: the distinct bench shingle set
+    * is counted first (one cheap aggregate over the small side only) and
+    * the broadcast hint applies only below `benchBroadcastLimit` rows
+    * (default 5×10⁷ ≈ well under Spark's 8 GB broadcast ceiling even for
+    * string keys). Above the limit the join runs un-hinted — a shuffle
+    * hash/sort-merge join that is slower but completes, instead of a
+    * driver/broadcast OOM on a caller who passed a "benchmark" that is
+    * really a corpus.
     */
   def contamination(train: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String,
-                    k: Int = 13, hashed: Boolean = true): DataFrame = {
-    def shingleRows(df: DataFrame, withId: Boolean): DataFrame = {
-      val base = df.withColumn("__sh",
-        array_distinct(TextOps.shingles(col(textCol), k)))
-      val key = if (hashed) xxhash64(col("s")) else col("s")
-      val exploded = base.select(
-        (if (withId) Seq(col(idCol).as("id")) else Seq.empty) :+
-          explode(col("__sh")).as("s"): _*)
-      exploded.select((if (withId) Seq(col("id")) else Seq.empty) :+ key.as("sh"): _*)
-    }
-    val benchSet = shingleRows(bench, withId = false).distinct()
-    shingleRows(train, withId = true)
-      .join(broadcast(benchSet), "sh")
+                    k: Int = 13, hashed: Boolean = true,
+                    benchBroadcastLimit: Long = 50000000L): DataFrame =
+    contaminationJoined(train, bench, idCol, textCol, k, hashed, benchBroadcastLimit)
       .groupBy("id")
       .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
+
+  /** Per-hit audit spans for decontamination review: one row per (train
+    * doc, shingle position) whose word `k`-gram appears in the benchmark
+    * set — the evidence a flagged doc is reviewed against, not just the
+    * count. `pos` is the 0-based token index where the matched k-gram
+    * starts; `sh` is the matched shingle (its xxhash64 key when `hashed`).
+    * Same guarded-broadcast scale shape as [[contamination]].
+    */
+  def contaminationSpans(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 13, hashed: Boolean = true,
+                         benchBroadcastLimit: Long = 50000000L): DataFrame =
+    contaminationJoined(train, bench, idCol, textCol, k, hashed, benchBroadcastLimit,
+      withPos = true)
+
+  /** Shared train⋈bench shingle join: (id[, pos], sh) rows of the train
+    * side restricted to shingles present in the bench side. Without `pos`
+    * the train shingles are de-duplicated per doc (hit counting); with
+    * `pos` every occurrence is kept (audit spans).
+    */
+  private def contaminationJoined(train: DataFrame, bench: DataFrame,
+                                  idCol: String, textCol: String,
+                                  k: Int, hashed: Boolean,
+                                  benchBroadcastLimit: Long,
+                                  withPos: Boolean = false): DataFrame = {
+    def key(c: Column): Column = if (hashed) xxhash64(c) else c
+    val benchSet = bench
+      .select(explode(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
+      .select(key(col("s")).as("sh"))
+      .distinct()
+    // guard the forced broadcast: count the small side before hinting (the
+    // count scans the bench side only; the train corpus is untouched)
+    val benchRows = benchSet.count()
+    val benchJoinSide =
+      if (benchRows <= benchBroadcastLimit) broadcast(benchSet)
+      else {
+        org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
+          s"contamination: bench shingle set has $benchRows distinct k-grams > " +
+            s"broadcast limit $benchBroadcastLimit — falling back to a shuffle join")
+        benchSet
+      }
+    val trainRows =
+      if (withPos)
+        train.select(col(idCol).as("id"),
+            posexplode(TextOps.shingles(col(textCol), k)).as(Seq("pos", "s")))
+          .select(col("id"), col("pos"), key(col("s")).as("sh"))
+      else
+        train.select(col(idCol).as("id"),
+            explode(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
+          .select(col("id"), key(col("s")).as("sh"))
+    trainRows.join(benchJoinSide, "sh")
   }
 
   /** 64-bit SimHash over token hashes: for each bit, sum ±1 weights over

@@ -264,28 +264,39 @@ object SimOps {
     val spark = index.assigned.sparkSession
     val bc = spark.sparkContext.broadcast(index.centroids)
     val probeUdf = udf { (v: Seq[Float]) => topCells(bc.value, v, nprobe) }
-    // Materialize the routed query side ONCE (it is broadcast-sized by
-    // contract): the collected rows feed both the probed-cell set and the
-    // join, so a non-deterministic `queries` frame cannot route to cells
-    // the pruning filter dropped, and no lineage is evaluated twice.
-    val routedPlan = queries
+    // Materialize the routed query side ONCE, distributed (persist+count,
+    // NOT a driver collect — a large query batch must never serialize
+    // through the driver): the cached blocks feed both the probed-cell
+    // aggregate and the join, so a non-deterministic `queries` frame
+    // cannot route to cells the pruning filter dropped, and the routing
+    // UDF runs once, not once per consumer.
+    val routed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
-    val routedRows = routedPlan.collect()
-    val routed = spark.createDataFrame(
-      java.util.Arrays.asList(routedRows: _*), routedPlan.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    routed.count()
 
-    // static partition pruning: an on-disk index reads only the probed
-    // cell directories (PartitionFilters); harmless no-op vs the equi-join
-    // for an in-memory index
-    val probedCells = routedRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    // static partition pruning from a tiny distinct aggregate (≤ nCells
+    // ints reach the driver — never query rows): an on-disk index reads
+    // only the probed cell directories (PartitionFilters); harmless no-op
+    // vs the equi-join for an in-memory index
+    val probedCells = routed.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq
     val pruned = index.assigned.filter(col("cell").isin(probedCells: _*))
 
     val scored = broadcast(routed).join(pruned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
+    // Materialize the (queries×k-bounded) result, then release the routed
+    // cache — a query-serving loop must not accumulate per-call cache
+    // entries. The returned frame owns its own (small) cache; callers
+    // release it with result.unpersist() when done.
+    val result = topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
       .select("query_id", "neighbor_id", "rank", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    routed.unpersist(blocking = false)
+    result
   }
 
   /** IVF (inverted-file) approximate top-k: coarse centroids partition the
@@ -310,14 +321,76 @@ object SimOps {
     * compute).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshQuery(buildLshIndex(corpus, bits, idCol, vecCol), queries, k, idCol, vecCol)
+
+  /** A built LSH index: the corpus with its `bits`-bit hyperplane signature
+    * (`neighbor_id`, `cv`, `sig`). Build once with [[buildLshIndex]],
+    * persist with [[writeLshIndex]] (parquet partitioned BY SIGNATURE, so
+    * reopened indexes serve queries with partition-pruned scans — the same
+    * index-once/query-many split [[IvfIndex]] has), query many times with
+    * [[lshQuery]]. Without the split, repeated-query ANN over a static
+    * corpus recomputes every corpus signature per call.
+    */
+  final case class LshIndex(bits: Int, signed: DataFrame)
+
+  /** Build the LSH index: one map-side pass computes each corpus row's
+    * hyperplane signature — no shuffle. */
+  def buildLshIndex(corpus: DataFrame, bits: Int = 8,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): LshIndex =
+    LshIndex(bits, corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshSignature(col(vecCol), bits).as("sig")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshSignature(col(vecCol), bits).as("sig"))
-    val scored = q.join(c, Seq("sig")).filter(col("query_id") =!= col("neighbor_id"))
+
+  /** Persist an LSH index: the signed corpus as parquet PARTITIONED BY sig
+    * (each signature bucket is its own directory), `bits` as a tiny JSON
+    * sidecar. With `bits` buckets ≤ 2^bits, keep `bits` small enough that
+    * the directory count stays sane (≤ ~2^12). */
+  def writeLshIndex(index: LshIndex, path: String): Unit = {
+    index.signed.write.mode("overwrite").partitionBy("sig").parquet(s"$path/buckets")
+    val spark = index.signed.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"""{"bits":${index.bits}}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val bits = "\"bits\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .getOrElse(sys.error(s"malformed LSH index meta at $path: $json")).group(1).toInt
+    LshIndex(bits, spark.read.parquet(s"$path/buckets"))
+  }
+
+  /** Query a built LSH index: signature each query map-side, statically
+    * prune the index to exactly the probed signature buckets (an on-disk
+    * index reads ONLY those bucket directories — `PartitionFilters` in the
+    * scan), broadcast-join on the signature, exact-cosine rank within the
+    * bucket via the bounded-heap top-k. Same routed-side discipline as
+    * [[ivfQuery]]: persist+count (never a driver collect of query rows);
+    * only the distinct signature set (≤ queries, usually ≪) reaches the
+    * driver for the pruning filter.
+    */
+  def lshQuery(index: LshIndex, queries: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val routed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        lshSignature(col(vecCol), index.bits).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    routed.count()
+    val probedSigs = routed.select("sig").distinct().collect().map(_.getLong(0)).toSeq
+    val pruned = index.signed.filter(col("sig").isin(probedSigs: _*))
+
+    val scored = broadcast(routed).join(pruned, Seq("sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
+    val result = topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
       .select("query_id", "neighbor_id", "rank", "sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    routed.unpersist(blocking = false)
+    result
   }
 }

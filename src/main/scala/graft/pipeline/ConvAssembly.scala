@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   *    lengths (the generator plants a 100× top-1%): phase 1 groups by
   *    (conv_id, salt = turn_idx / chunk) so a monster conversation splits
   *    across `chunk`-sized pieces that different reducers handle; phase 2
-  *    merges the per-chunk pieces in chunk order. No single reducer ever
-  *    materializes more than `chunk` turns of one conversation — the plan
-  *    that survives a conversation with 10^6 turns at 10^12-turn scale.
+  *    merges the per-chunk pieces in chunk order. Phase-1 sort/collect
+  *    state is bounded by `chunk` turns per reducer; the phase-2 concat is
+  *    necessarily bounded by the conversation's TOTAL text size — the
+  *    output contract is one `conv_text` row, so a 10^6-turn conversation
+  *    still yields one giant string on one reducer. What salting removes is
+  *    the per-turn sort/collect hot spot, not the inherent output size.
   *
   * Both produce identical results (asserted in tests); stable ordering
   * comes from sorting the collected (turn_idx, text) structs, never from

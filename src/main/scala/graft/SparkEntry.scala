@@ -451,6 +451,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_docs_oov" -> ((s, dir) => {
+      // out-of-vocabulary rate vs the corpus top-500 vocabulary (freq
+      // desc, token asc) — the vocab-coverage quality signal tokenizer
+      // pipelines filter on. Scale shape: one explode->partial-agg pass
+      // builds the (bounded) vocab, which BROADCASTs into a map-side
+      // membership probe; integer outputs so the oracle is exact
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(500)
+        .select(col("token"), lit(1).as("__in_vocab"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tok"),
+          sum(when(col("__in_vocab").isNull, 1).otherwise(0)).cast("int").as("n_oov"))
+        .orderBy("doc_id")
+    }),
+
     "q_vocab_top" -> ((s, dir) => {
       // vocabulary building for tokenizer training: explode tokens, count,
       // rank — partial aggregation collapses token counts map-side, so the
@@ -756,6 +774,15 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    "x_bpe_merges" -> ((s, dir) => {
+      // BPE vocabulary training (iterative pair-merge): inherently
+      // sequential-argmax, so not SQL-expressible — the merge sequence is
+      // oracled against a hand-computed corpus in BpeSpec instead; here
+      // the driver checks the trained merge table is non-empty and stable
+      val merges = graft.ops.BpeOps.bpeTrain(docs(s, dir), "text", numMerges = 30)
+      s.createDataFrame(merges).toDF("rank", "left", "right").orderBy("rank")
+    }),
+
     // ---- realistic generated-markup pipeline (non-SQL-expressible) --------
     "x_extract_transcripts" -> ((s, _) => {
       val turns = TranscriptGen.turns(s, 20000, seed = 42, partitions = 16)
@@ -990,6 +1017,16 @@ object SparkEntry {
         |  cast(least(nt, chunk_idx * 24 + 32) AS int) AS tok_end
         |FROM (SELECT doc_id, nt, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_docs_oov" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |              FROM documents WHERE trim(text) <> ''),
+        |v AS (SELECT token FROM (SELECT token, count(*) AS freq FROM toks
+        |      GROUP BY 1 ORDER BY freq DESC, token LIMIT 500))
+        |SELECT t.doc_id, cast(count(*) AS int) AS n_tok,
+        |  cast(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS int) AS n_oov
+        |FROM toks t LEFT JOIN v ON t.token = v.token
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_docs_top_term" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

@@ -99,7 +99,7 @@ object DedupOps {
     * signature expression is bound via [[TextOps.bindOnce]] so it is
     * evaluated once, not once per band.
     */
-  private def bandHashesOf(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  private[graft] def bandHashesOf(sig: Column, bands: Int, rowsPerBand: Int): Column =
     TextOps.bindOnce(sig)(s =>
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(s, b * rowsPerBand + 1, lit(rowsPerBand))), b)))

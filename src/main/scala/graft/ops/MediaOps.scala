@@ -9,11 +9,18 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample stages as batched per-partition transforms.
   *
-  * The actual codecs are NOT available in this environment, so the decode
-  * step is a clearly-marked deterministic STUB (`fakeDecode`) — everything
-  * around it (schema, batching, partitioning, output shape) is the real
-  * Spark plumbing a production decoder would drop into: swap `fakeDecode`
-  * for an FFI call and nothing else changes.
+  * Two decode paths exist behind one interface:
+  *  - a REAL codec path ([[decodeImage]] / [[resizeImagesCodec]] /
+  *    [[extractFeaturesCodec]]) backed by the JDK's `javax.imageio`
+  *    (PNG/JPEG/GIF/BMP/TIFF — headless-safe, probed at runtime via
+  *    [[codecAvailable]]), used whenever the payload actually decodes;
+  *  - a clearly-marked deterministic STUB (`fakeDecode`, byte-sampling
+  *    resize) used as the fallback for undecodable payloads and as the
+  *    test double — the synthesized test corpus carries text bytes, not
+  *    real images, so its oracled queries stay on the stub path.
+  * Everything around either path (schema, batching, partitioning, output
+  * shape) is the same Spark plumbing: a video/audio FFI decoder would drop
+  * into the same `mapPartitions` slot.
   */
 object MediaOps {
   /** One media object: opaque payload + typed metadata. */
@@ -111,6 +118,123 @@ object MediaOps {
     }
   }
 
+  /** ======== REAL codec path (JDK javax.imageio) ======== */
+
+  /** True when the JVM ships image codecs (javax.imageio readers exist).
+    * Always true on a standard JDK (java.desktop module); false only on
+    * jlink-stripped runtimes — the codec entry points below fall back to
+    * the stub per-row when a payload doesn't decode, and callers can check
+    * this probe to skip the codec path wholesale.
+    */
+  lazy val codecAvailable: Boolean =
+    try javax.imageio.ImageIO.getReaderFormatNames.nonEmpty
+    catch { case _: Throwable => false }
+
+  /** Real image decode: ImageIO over the payload bytes; None when the
+    * payload is not a decodable image (wrong bytes, unknown format).
+    * Headless-safe.
+    */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.isEmpty || !codecAvailable) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def scaleImage(src: java.awt.image.BufferedImage,
+                         w: Int, h: Int): java.awt.image.BufferedImage = {
+    val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    dst
+  }
+
+  /** Codec-backed resize: decode (ImageIO), bilinear-scale, re-encode as
+    * PNG, with true decoded dimensions in the metadata. Payloads that do
+    * not decode fall back to the deterministic stub row so a mixed corpus
+    * (some rows real images, some junk) still flows end-to-end. Same
+    * batched per-partition shape as the stub stage.
+    */
+  def resizeImagesCodec(media: Dataset[MediaFile], targetW: Int, targetH: Int): Dataset[MediaFile] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        if (m.kind != "image") m
+        else decodeImage(m.payload) match {
+          case Some(img) =>
+            m.copy(width = targetW, height = targetH,
+              payload = encodePng(scaleImage(img, targetW, targetH)))
+          case None => stubResizeRow(m, targetW, targetH)
+        }
+      }
+    }
+  }
+
+  /** Codec-backed feature extraction: decode, scale to a √dims-ish grid,
+    * emit per-cell RGB means in [0,1] — a real (if simple) visual feature.
+    * Undecodable payloads fall back to [[fakeDecode]].
+    */
+  def extractFeaturesCodec(media: Dataset[MediaFile], dims: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val grid = math.max(1, math.sqrt(dims / 3.0).toInt)
+    media.mapPartitions { iter =>
+      iter.map { m =>
+        val feats =
+          if (m.kind == "image") decodeImage(m.payload) match {
+            case Some(img) =>
+              val small = scaleImage(img, grid, grid)
+              val out = new Array[Float](dims)
+              var idx = 0
+              for (y <- 0 until grid; x <- 0 until grid; c <- 0 until 3
+                   if idx < dims) {
+                val rgb = small.getRGB(x, y)
+                out(idx) = (((rgb >> (16 - 8 * c)) & 0xff) / 255.0f)
+                idx += 1
+              }
+              out
+            case None => fakeDecode(m.payload, dims)
+          } else fakeDecode(m.payload, dims)
+        val frames = m.kind match {
+          case "video" => math.max(1, (m.duration_ms / 1000).toInt)
+          case "audio" => math.max(1, (m.duration_ms / 500).toInt)
+          case _       => 1
+        }
+        MediaFeatures(m.media_id, m.doc_id, m.kind, m.payload.length,
+          contentHash(m.payload), feats, frames)
+      }
+    }
+  }
+
+  /** The deterministic stub resize of a single row (shared by the stub
+    * stage and the codec stage's undecodable fallback).
+    */
+  private def stubResizeRow(m: MediaFile, targetW: Int, targetH: Int): MediaFile =
+    if (m.kind != "image" || m.width <= 0 || m.height <= 0) m
+    else {
+      val scale = math.min(1.0,
+        (targetW.toLong * targetH).toDouble / (m.width.toLong * m.height))
+      val outLen = math.max(1, (m.payload.length * scale).toInt)
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) {
+        // nearest-neighbor byte sampling (stands in for pixel resampling)
+        out(i) = m.payload((i.toLong * m.payload.length / outLen).toInt)
+        i += 1
+      }
+      m.copy(width = targetW, height = targetH, payload = out)
+    }
+
   /** Resize stage for image payloads — ======== STUB decode/re-encode:
     * a real implementation decodes, scales, re-encodes; this stand-in
     * deterministically downsamples the payload bytes in proportion to the
@@ -121,24 +245,7 @@ object MediaOps {
   def resizeImages(media: Dataset[MediaFile], targetW: Int, targetH: Int): Dataset[MediaFile] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { iter =>
-      iter.map { m =>
-        if (m.kind != "image" || m.width <= 0 || m.height <= 0) m
-        else {
-          val scale = math.min(1.0,
-            (targetW.toLong * targetH).toDouble / (m.width.toLong * m.height))
-          val outLen = math.max(1, (m.payload.length * scale).toInt)
-          val out = new Array[Byte](outLen)
-          var i = 0
-          while (i < outLen) {
-            // nearest-neighbor byte sampling (stands in for pixel resampling)
-            out(i) = m.payload((i.toLong * m.payload.length / outLen).toInt)
-            i += 1
-          }
-          m.copy(width = targetW, height = targetH, payload = out)
-        }
-      }
-    }
+    media.mapPartitions(_.map(stubResizeRow(_, targetW, targetH)))
   }
 
   /** Frame sampling for video payloads: split the payload into `frames`

@@ -69,6 +69,110 @@ object StreamingExtract {
       .as[Turn]
   }
 
+  /** One banded MinHash row of a streaming document (the shuffle unit of
+    * [[nearDupStream]]): the full signature rides along so candidate pairs
+    * are verified in-state by estimated Jaccard instead of a second
+    * corpus lookup (the batch pipeline's re-fetch join has no streaming
+    * equivalent without an external store).
+    */
+  final case class BandedDoc(id: Long, band: Int, bucket: Long,
+                             sig: Array[Long], ts: java.sql.Timestamp)
+
+  /** Per-(band,bucket) state: docs seen within the watermark horizon, plus
+    * the max event time observed (the eviction clock — the timeout must be
+    * anchored to event time, not the current watermark, which lags a batch
+    * behind and would evict everything immediately on the first batch).
+    */
+  final case class BucketState(ids: Array[Long], sigs: Array[Array[Long]], maxTsMs: Long)
+
+  /** An emitted near-dup candidate: `est_jaccard` is the matching-minhash
+    * fraction (an unbiased Jaccard estimate). The same pair can surface
+    * from several bands — dedupe downstream if exactly-once pairs matter
+    * (e.g. `dropDuplicatesWithinWatermark("id_a", "id_b")`).
+    */
+  final case class NearDupHit(id_a: Long, id_b: Long, band: Int, est_jaccard: Double)
+
+  private[streaming] def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var same = 0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a(i) == b(i)) same += 1; i += 1 }
+    if (n == 0) 0.0 else same.toDouble / n
+  }
+
+  /** Streaming MinHash near-dup detection — the streaming face of
+    * `DedupOps.minhashNearDups`: each incoming doc computes its signature
+    * and LSH band hashes MAP-SIDE (one pass per row, raw text never enters
+    * state or crosses the stateful shuffle); per-(band,bucket) groups hold
+    * the (id, signature) of docs seen within the watermark horizon; a new
+    * arrival emits one [[NearDupHit]] per stored bucket-mate whose
+    * estimated Jaccard (matching-hash fraction) reaches `threshold`.
+    *
+    * State is bounded two ways, which is what keeps the store finite on an
+    * unbounded 10^12-turn stream:
+    *  - the event-time timeout evicts a bucket `latenessMs` past the
+    *    watermark (dup detection only within the horizon — the streaming
+    *    contract; historical dedup belongs to the batch pipeline);
+    *  - `maxBucket` caps docs per bucket (the hot-bucket guard): a
+    *    boilerplate bucket stops absorbing new signatures at the cap and
+    *    later arrivals still compare against (and hit) the stored prefix.
+    */
+  def nearDupStream(docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    tsCol: String = "ts",
+                    threshold: Double = 0.8, k: Int = 3,
+                    numHashes: Int = 64, bands: Int = 16,
+                    latenessMs: Long = 600000L,
+                    maxBucket: Int = 1024): Dataset[NearDupHit] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .withWatermark(tsCol, s"$latenessMs milliseconds")
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        graft.ops.DedupOps.minhashSignature(col(textCol), k, numHashes).as("sig"))
+      .select(col("id"), col("ts"), col("sig"),
+        posexplode(graft.ops.DedupOps.bandHashesOf(col("sig"), bands, numHashes / bands))
+          .as(Seq("band", "bucket")))
+      .select(col("id"), col("band"), col("bucket"), col("sig"), col("ts"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, _), rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BucketState(Array.empty, Array.empty, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+            rows.foreach { d =>
+              var i = 0
+              while (i < st.ids.length) {
+                if (st.ids(i) != d.id) {
+                  val est = estJaccard(st.sigs(i), d.sig)
+                  if (est >= threshold)
+                    out += NearDupHit(math.min(st.ids(i), d.id), math.max(st.ids(i), d.id),
+                      band, est)
+                }
+                i += 1
+              }
+              val ts = if (d.ts == null) st.maxTsMs else math.max(st.maxTsMs, d.ts.getTime)
+              st =
+                if (st.ids.length < maxBucket && !st.ids.contains(d.id))
+                  BucketState(st.ids :+ d.id, st.sigs :+ d.sig, ts)
+                else BucketState(st.ids, st.sigs, ts)
+            }
+            state.update(st)
+            // evict when the watermark passes the newest member + horizon
+            // (event-time anchored: the current watermark lags a batch)
+            state.setTimeoutTimestamp(
+              math.max(st.maxTsMs + latenessMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Running per-conversation state: turn count, char count, last index —
     * custom state via `mapGroupsWithState` with a processing-time idle
     * timeout: a conversation that receives no turns for `idleTimeout` is

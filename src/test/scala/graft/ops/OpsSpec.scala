@@ -86,6 +86,130 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: reliable-checkpoint path labels identically") {
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L)
+    )).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val viaReliable = DedupOps.connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLocal = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaReliable == viaLocal)
+    assert(viaReliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // the reliable path actually wrote checkpoint data
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"no checkpoint data under $dir")
+  }
+
+  test("connectedComponents: strict mode throws on maxIter exhaustion; status reports it") {
+    // a chain of diameter 9 cannot converge in 2 rounds of min-label hops
+    val chain = spark.createDataFrame((1L to 9L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val r = DedupOps.connectedComponentsStatus(chain, maxIter = 2)
+    assert(!r.converged && r.iterations == 2)
+    intercept[IllegalArgumentException] {
+      DedupOps.connectedComponents(chain, maxIter = 2, strict = true)
+    }
+    // converged graphs report so, and strict passes
+    val ok = DedupOps.connectedComponentsStatus(chain, maxIter = 20)
+    assert(ok.converged)
+    assert(ok.labels.collect().forall(_.getLong(1) == 1L))
+  }
+
+  test("dedupCorpus: keepers are cluster min-ids; untouched docs survive") {
+    // planted 1000+i duplicate i (i < 30): clusters {i, 1000+i} keep i;
+    // docs 30..119 are in no pair and must all survive untouched
+    val survivors = DedupOps.dedupCorpus(docsDf, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (0L until 120L).toSet,
+      s"unexpected survivor set: missing=${(0L until 120L).toSet -- survivors} " +
+        s"extra=${survivors -- (0L until 120L).toSet}")
+  }
+
+  test("contamination: guard falls back to a shuffle join with identical results") {
+    val bench = docsDf.filter(col("doc_id") < 30)
+    val train = docsDf.filter(col("doc_id") >= 1000)
+    val viaBroadcast = DedupOps.contamination(train, bench, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaShuffle = DedupOps.contamination(train, bench, "doc_id", "text", k = 5,
+        benchBroadcastLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBroadcast == viaShuffle)
+    assert(viaShuffle.nonEmpty)
+  }
+
+  test("contaminationSpans: exact positions and shingles of each hit") {
+    val train = spark.createDataFrame(Seq(
+      (1L, "aa bb cc dd ee ff"), // hits at pos 0 (aa bb cc) and pos 3 (dd ee ff)
+      (2L, "zz yy xx ww vv")     // no hits
+    )).toDF("doc_id", "text")
+    val bench = spark.createDataFrame(Seq(
+      (10L, "aa bb cc qq dd ee ff")
+    )).toDF("doc_id", "text")
+    val spans = DedupOps.contaminationSpans(train, bench, "doc_id", "text",
+        k = 3, hashed = false)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("pos"), r.getAs[String]("sh")))
+      .toSet
+    assert(spans == Set((1L, 0, "aa bb cc"), (1L, 3, "dd ee ff")))
+    // hashed variant flags the same (doc, pos) hits
+    val hashedSpans = DedupOps.contaminationSpans(train, bench, "doc_id", "text",
+        k = 3, hashed = true)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("pos"))).toSet
+    assert(hashedSpans == Set((1L, 0), (1L, 3)))
+  }
+
+  test("LSH index build/write/read/query: reopened index answers identically with partition-pruned scans") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 150).map { i =>
+      val c = i % 6
+      val center = Array.tabulate(8)(d => math.sin(c * 11 + d).toFloat * 2f)
+      (i.toLong, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq)
+    }
+    val corpus = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 6)
+
+    val direct = SimOps.lshTopK(queries, corpus, k = 2, bits = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+    val index = SimOps.buildLshIndex(corpus, bits = 5)
+    SimOps.writeLshIndex(index, dir)
+    val reopened = SimOps.readLshIndex(spark, dir)
+    assert(reopened.bits == 5)
+
+    val result = SimOps.lshQuery(reopened, queries, k = 2)
+    val viaDisk = result.collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(viaDisk == direct)
+
+    // the on-disk index must serve queries via partition-pruned scans of
+    // only the probed signature buckets (non-empty PartitionFilters on sig)
+    val plan = result.queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[[^\\]]*sig".r.findFirstIn(plan).isDefined,
+      s"expected a non-empty sig partition filter in the index scan:\n$plan")
+    result.unpersist()
+  }
+
+  test("ivfQuery routes queries through cached distributed blocks, not the driver") {
+    // the routed side must reach the join via its persisted blocks
+    // (InMemoryTableScan), never as a driver-rebuilt local relation — the
+    // shape that would serialize a large query batch through the driver
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 120).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val corpus = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val index = SimOps.buildIvfIndex(corpus, nCells = 6)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val result = SimOps.ivfQuery(index, queries, k = 2, nprobe = 2)
+    // the executed join plan must read the routed side from its persisted
+    // blocks — an InMemoryTableScan, the only cached frame in this plan
+    val plan = result.queryExecution.executedPlan.toString()
+    assert(plan.contains("InMemoryTableScan"),
+      s"routed query side must come from cached distributed blocks:\n$plan")
+    assert(result.count() == 10)
+    result.unpersist()
+  }
+
   test("pii signals and redaction: counts, order of redaction, no false hits") {
     val df = spark.createDataFrame(Seq(
       (1L, "mail me at a.b+c@test.org or see https://x.test/path?id=12345678 code 99887766"),

@@ -205,6 +205,76 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally if (q.isActive) q.stop()
   }
 
+  test("streaming near-dup: planted pairs across micro-batches are found, state bounded") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    def t(off: Long) = new Timestamp(1700000000000L + off)
+
+    val q = StreamingExtract.nearDupStream(
+        input.toDF().toDF("doc_id", "text", "ts"), threshold = 0.8)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: originals
+      input.addData(base.map { case (i, txt) => (i, txt, t(i)) }: _*)
+      q.processAllAvailable()
+      // batch 2: near-copies of the first 8 docs (one word appended) plus
+      // fresh unrelated docs — pairs must be detected ACROSS batches
+      val copies = base.take(8).map { case (i, txt) => (1000L + i, txt + " omega", t(100 + i)) }
+      val fresh = (50L until 55L).map(i =>
+        (i, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "), t(200 + i)))
+      input.addData(copies ++ fresh: _*)
+      q.processAllAvailable()
+      q.stop()
+
+      val hits = spark.table("neardup_out").collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      val expected = (0 until 8).map(i => (i.toLong, 1000L + i)).toSet
+      assert(expected.subsetOf(hits), s"missing planted pairs: ${expected -- hits}")
+      // word-soup docs must not collide at threshold 0.8
+      val falsePos = hits -- expected
+      assert(falsePos.isEmpty, s"false positives: $falsePos")
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("streaming near-dup: bucket-state eviction past the watermark horizon") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val text = "the exact same body of text repeated verbatim every time here"
+    def t(off: Long) = new Timestamp(1700000000000L + off)
+    // 1-second horizon: a dup arriving long after the original's bucket
+    // was evicted must NOT pair with it
+    val q = StreamingExtract.nearDupStream(
+        input.toDF().toDF("doc_id", "text", "ts"), threshold = 0.8, latenessMs = 1000L)
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, text, t(0)))
+      q.processAllAvailable()
+      // advance the watermark far past the horizon with an unrelated doc
+      input.addData((2L, "completely different words in this one", t(10000000)))
+      q.processAllAvailable()
+      // the copy of doc 1 arrives after eviction (its event time is ahead
+      // of the watermark so it is NOT dropped as late — but doc 1's bucket
+      // state is gone, so no pair can be emitted)
+      input.addData((3L, text, t(10000001)))
+      q.processAllAvailable()
+      q.stop()
+      val hits = spark.table("neardup_evict").collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(!hits.contains((1L, 3L)),
+        s"pair (1,3) spans an evicted bucket and must not surface: $hits")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("watermarked windowed aggregation produces per-conversation counts") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -23,27 +23,30 @@ object Bench {
     * bench refresh).
     */
   val recordedQuerySeconds: Map[String, Double] = Map(
-    // measured in BENCH_local_r3.json (solo run at HEAD), +30% margin
-    "q_agg_pricing" -> 3.4, "q_ann_ivf" -> 2.8, "q_ann_lsh" -> 1.3,
-    "q_ann_top1" -> 1.8, "q_ann_ivf_disk" -> 5.0, "q_ann_topk" -> 1.7, "q_anti_join" -> 0.6,
-    "q_asof_join" -> 1.6, "q_cube_orders" -> 1.1, "q_dates" -> 0.4,
-    "q_dedup_clusters" -> 12.1, "q_dedup_embedding" -> 3.3, "q_dedup_exact" -> 0.6,
-    "q_dedup_minhash" -> 5.9, "q_dedup_simhash" -> 2.9, "q_docs_bpe_tokens" -> 0.5,
-    "q_docs_filter_flags" -> 1.6, "q_docs_fingerprint" -> 0.7, "q_docs_langid" -> 1.8,
-    "q_docs_pii" -> 1.4, "q_docs_quality" -> 0.8, "q_docs_quality_score" -> 0.9,
-    "q_docs_repetition" -> 1.3, "q_docs_rollhash" -> 0.3, "q_docs_tokens" -> 0.6, "q_docs_top_term" -> 2.0, "q_contamination" -> 6.3, "q_docs_chunks" -> 1.5,
-    "q_escape_constructed" -> 0.4, "q_events_daily" -> 0.5, "q_filter_dates" -> 0.3,
-    "q_having_custs" -> 0.4, "q_html_main_content" -> 0.6, "q_html_strip_constructed" -> 0.6,
-    "q_join_segment_sales" -> 0.9, "q_json_events" -> 1.0, "q_langid_ngram" -> 0.8,
-    "q_media_features" -> 0.3, "q_media_frames" -> 0.3, "q_media_resize" -> 0.3,
-    "q_percentiles" -> 0.4, "q_pipeline_assembly" -> 1.2, "q_pipeline_errors" -> 0.5,
-    "q_pipeline_extract" -> 0.7, "q_pipeline_html" -> 0.5, "q_pipeline_offsets" -> 0.4,
-    "q_render_constructed" -> 0.4, "q_rollup_orders" -> 0.9, "q_scalar_funcs" -> 0.3,
-    "q_semi_join" -> 0.5, "q_sessionize" -> 1.3, "q_set_customers" -> 0.7,
-    "q_span_lineage" -> 0.4, "q_span_lineage_render" -> 0.4, "q_strip_constructed" -> 0.3,
+    // measured in BENCH_local_r4.json (solo run at HEAD), +30% margin
+    "q_agg_pricing" -> 3.5, "q_ann_ivf" -> 4.7, "q_ann_ivf_disk" -> 3.7,
+    "q_ann_lsh" -> 2.5, "q_ann_lsh_disk" -> 2.5, "q_ann_top1" -> 2.6,
+    "q_ann_topk" -> 1.8, "q_anti_join" -> 0.6, "q_asof_join" -> 1.5,
+    "q_contamination" -> 4.1, "q_contamination_spans" -> 2.4, "q_cube_orders" -> 1.1,
+    "q_dates" -> 0.4, "q_dedup_clusters" -> 10.2, "q_dedup_embedding" -> 3.6,
+    "q_dedup_exact" -> 0.6, "q_dedup_keepers" -> 8.7, "q_dedup_minhash" -> 5.9,
+    "q_dedup_simhash" -> 3.1, "q_docs_bpe_tokens" -> 0.6, "q_docs_chunks" -> 0.6,
+    "q_docs_filter_flags" -> 2.0, "q_docs_fingerprint" -> 0.7, "q_docs_langid" -> 1.2,
+    "q_docs_oov" -> 1.0, "q_docs_pii" -> 1.3, "q_docs_quality" -> 0.8,
+    "q_docs_quality_score" -> 0.7, "q_docs_repetition" -> 1.3, "q_docs_rollhash" -> 0.3,
+    "q_docs_tokens" -> 0.6, "q_docs_top_term" -> 1.3, "q_escape_constructed" -> 0.4,
+    "q_events_daily" -> 0.5, "q_filter_dates" -> 0.3, "q_having_custs" -> 0.4,
+    "q_html_main_content" -> 0.6, "q_html_strip_constructed" -> 0.4,
+    "q_join_segment_sales" -> 0.7, "q_json_events" -> 1.1, "q_langid_ngram" -> 0.9,
+    "q_media_features" -> 0.4, "q_media_frames" -> 0.4, "q_media_resize" -> 0.3,
+    "q_percentiles" -> 0.4, "q_pipeline_assembly" -> 1.0, "q_pipeline_errors" -> 0.4,
+    "q_pipeline_extract" -> 0.4, "q_pipeline_html" -> 0.5, "q_pipeline_offsets" -> 0.5,
+    "q_render_constructed" -> 0.4, "q_rollup_orders" -> 0.8, "q_scalar_funcs" -> 0.3,
+    "q_semi_join" -> 0.5, "q_sessionize" -> 1.2, "q_set_customers" -> 0.6,
+    "q_span_lineage" -> 0.4, "q_span_lineage_render" -> 0.4, "q_strip_constructed" -> 0.4,
     "q_strip_native_expr" -> 0.3, "q_token_jaccard" -> 0.9, "q_topk_docs" -> 0.3,
-    "q_vocab_top" -> 0.4, "q_window_running" -> 0.6, "q_window_top_event" -> 0.5,
-    "x_extract_transcripts" -> 0.3
+    "q_vocab_top" -> 0.4, "q_window_running" -> 0.5, "q_window_top_event" -> 0.6,
+    "x_bpe_merges" -> 0.7, "x_extract_transcripts" -> 0.4
   )
 
   /** A regression fires above 3× the recorded time AND above a 1.5 s
@@ -92,6 +95,48 @@ object Bench {
     if (warm) once() // warmup at full size (JIT; only needed once per JVM)
     val sec = math.min(once(), once())
     (sec, n / sec)
+  }
+
+  /** Pin (or restore) the WHOLE JVM's CPU affinity via `taskset -apc`
+    * (`-a` = all existing threads; new threads inherit their parent's
+    * mask). Returns false when taskset is unavailable — callers skip the
+    * pinned measurement rather than fail the bench.
+    */
+  private def setAffinity(spec: String): Boolean =
+    try {
+      val p = new ProcessBuilder("taskset", "-apc", spec,
+          ProcessHandle.current().pid().toString)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .redirectErrorStream(true).start()
+      p.waitFor() == 0
+    } catch { case _: Exception => false }
+
+  /** Pinned 16-core measurement: affinity-pin the JVM to cores 0-15, run
+    * the extraction at local[16] three times (plus one warmup), report
+    * median throughput and run-to-run spread. Pinning removes the
+    * scheduler's core-migration noise that makes the free-floating 32-core
+    * headline swing ±25% under host steal — this is the number to compare
+    * across rounds. Returns (medianSec, medianTput, spread) where spread =
+    * (max-min)/min over the timed runs; NaNs when taskset is unavailable.
+    */
+  private def pinned16(benchTurns: Long, parts: Int): (Double, Double, Double) = {
+    if (!setAffinity("0-15")) return (Double.NaN, Double.NaN, Double.NaN)
+    try {
+      val s = session(16)
+      try {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          ExtractJob.extract(TranscriptGen.turns(s, benchTurns, seed = 42, partitions = parts))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warmup (JIT at this parallelism)
+        val runs = Seq(once(), once(), once()).sorted
+        val median = runs(1)
+        val spread = (runs.last - runs.head) / runs.head
+        (median, benchTurns / median, spread)
+      } finally s.stop()
+    } finally setAffinity("0-" + (Runtime.getRuntime.availableProcessors() - 1))
   }
 
   /** Pure-CPU scaling ceiling of the host itself: the same fixed-work spin
@@ -158,6 +203,12 @@ object Bench {
     val midTput = scaleTurns / midSec
     val efficiency = midTput / (4.0 * lowTput)
 
+    // pinned 16-core level (run-to-run spread is the point — the floating
+    // 32-core headline swings ±25% under host steal); own sessions, never
+    // co-run with the other timings
+    val (p16Sec, p16Tput, p16Spread) =
+      if (cpus >= 16) pinned16(benchTurns, parts) else (Double.NaN, Double.NaN, Double.NaN)
+
     val sHigh = session(cpus)
     val (highSec, highTput) = timeExtract(sHigh, benchTurns, parts)
     // full-ladder transparency: the N*4 -> cpus job efficiency AND the
@@ -193,6 +244,9 @@ object Bench {
       s""""cpu_ceiling_efficiency_${scaleN * 4}_${cpus}":${f(ceilEff)}""",
       s""""cpu_ceiling_gops_${scaleN * 4}c":${f(ceil1 / 1e9)}""",
       s""""cpu_ceiling_gops_${cpus}c":${f(ceil2 / 1e9)}""",
+      s""""extract_16c_pinned_sec":${if (p16Sec.isNaN) "null" else f(p16Sec)}""",
+      s""""turns_per_sec_16c_pinned":${if (p16Tput.isNaN) "null" else f(p16Tput)}""",
+      s""""pinned_16c_spread":${if (p16Spread.isNaN) "null" else f(p16Spread)}""",
       s""""bench_turns":$benchTurns""",
       s""""bench_regressions":${warnings.size}"""
     )).mkString("{", ",", "}")

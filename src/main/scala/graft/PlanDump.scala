@@ -42,6 +42,16 @@ object PlanDump {
     dump("asof_join", JoinOps.asofJoin(ev, cp, "user_id", "ts", Seq("cp_value")))
     dump("dim_join", SparkEntry.queries("q_join_segment_sales")(spark, sf))
     dump("pruned_scan", SparkEntry.queries("q_topk_docs")(spark, sf))
+    // on-disk ANN index serving plans: both must show non-empty
+    // PartitionFilters (only probed cells / signature buckets are read)
+    val tmpIvf = java.nio.file.Files.createTempDirectory("graft_plan_ivf").toString
+    SimOps.writeIvfIndex(SimOps.buildIvfIndex(e, nCells = 16), tmpIvf)
+    dump("ivf_disk_query", SimOps.ivfQuery(SimOps.readIvfIndex(spark, tmpIvf),
+      e.filter(col("vec_id") < 5), k = 3, nprobe = 4))
+    val tmpLsh = java.nio.file.Files.createTempDirectory("graft_plan_lsh").toString
+    SimOps.writeLshIndex(SimOps.buildLshIndex(e, bits = 6), tmpLsh)
+    dump("lsh_disk_query", SimOps.lshQuery(SimOps.readLshIndex(spark, tmpLsh),
+      e.filter(col("vec_id") < 5), k = 3))
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{TagAttributes => CoreTagAttributes}
-import graft.ops.{DedupOps, JoinOps, MediaOps, SimOps, TextOps}
+import graft.ops.{DedupOps, JoinOps, MediaOps, PackOps, SimOps, TextOps}
 import graft.pipeline.{ConvAssembly, ExtractJob, SpanLineage, TranscriptGen, Turn, Udfs}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -411,6 +411,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_pretrain_e2e" -> ((s, dir) => {
+      // the composed pretraining-corpus pipeline a user actually runs —
+      // quality filter -> near-dup keeper dedup -> benchmark
+      // decontamination — end to end in one plan. Each stage reuses the
+      // exact semantics its own oracled query pins (q_docs_filter_flags
+      // keep, q_dedup_keepers at threshold 0.5/512x64 over the FILTERED
+      // corpus, q_contamination at k=5 vs the doc_id%5==0 bench slice),
+      // so the composition is their SQL conjunction
+      val d = docs(s, dir)
+      val kept = d
+        .withColumn("ltoks", TextOps.tokens(lower(col("text"))))
+        .withColumn("sh2", TextOps.shinglesOf(col("ltoks"), 2))
+        .withColumn("n_tok", size(col("ltoks")))
+        .withColumn("n_stop", TextOps.stopwordCountOf(col("ltoks")))
+        .withColumn("n_punct", TextOps.punctCount(col("text")))
+        .withColumn("n_bi", size(col("sh2")))
+        .withColumn("n_dbi", size(array_distinct(col("sh2"))))
+        .filter(!(col("n_tok") < 24) && !(col("n_stop") * 20 < col("n_tok")) &&
+          !(col("n_punct") * 5 > length(col("text"))) &&
+          !((col("n_bi") - col("n_dbi")) * 4 > col("n_bi")))
+        .select("doc_id", "text")
+        // materialize the filtered corpus ONCE: dedupCorpus + contamination
+        // consume their input ~6 times, and without truncation each scan
+        // re-runs the tokenize/bigram quality lineage (measured 34 s -> the
+        // usual composition cost). At cluster scale this is a persisted
+        // intermediate table/DISK_ONLY cache — same idiom, durable storage
+        .localCheckpoint(true)
+      val survivors = DedupOps.dedupCorpus(kept, "doc_id", "text",
+          threshold = 0.5, numHashes = 512, bands = 64)
+        .localCheckpoint(true) // consumed twice below (contamination + anti-join)
+      val train = survivors.filter(col("doc_id") % 5 =!= 0)
+      val contaminated = DedupOps.contamination(
+          train, d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 5, hashed = false)
+        .select(col("id").as("doc_id"))
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q_docs_chunks" -> ((s, dir) => {
       // context-window chunking: split each doc's token stream into
       // 32-token windows with stride 24 (8-token overlap) — the
@@ -431,6 +471,51 @@ object SparkEntry {
           (col("chunk_idx") * 24).as("tok_start"),
           least(nt, col("chunk_idx") * 24 + 32).as("tok_end"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "q_docs_split" -> ((s, dir) => {
+      // reproducible train/val/test split by content hash (md5-prefix
+      // bucket): assignment depends only on the text, so it is stable
+      // across runs, partition layouts, AND engines — rand()-based splits
+      // are none of these. 90/5/5
+      docs(s, dir).select(col("doc_id"),
+          TextOps.splitBucket(col("text")).cast("int").as("bucket"),
+          TextOps.stableSplit(col("text")).as("split"))
+        .orderBy("doc_id")
+    }),
+
+    "q_url_canon" -> ((s, dir) => {
+      // URL canonicalization into crawl-dedup keys, exercising every rule:
+      // fragment drop, scheme/host lowercase (path case preserved), www.
+      // strip, default-port strip (:80 http / :443 https; :8080 kept),
+      // utm_* query-param drop (fully-utm query loses its '?'), trailing
+      // path slash strip. The oracle derives the expected key DIRECTLY
+      // from doc_id arithmetic — an independent derivation, not a regex
+      // mirror
+      val id = col("doc_id")
+      val raw = concat(
+        when(id % 2 === 0, lit("HTTPS")).otherwise(lit("HTTP")),
+        lit("://WWW.ExAmple"), (id % 7).cast("string"), lit(".CoM"),
+        when(id % 3 === 0, when(id % 2 === 0, lit(":443")).otherwise(lit(":80")))
+          .when(id % 3 === 1, lit(":8080")).otherwise(lit("")),
+        lit("/Path/"), id.cast("string"),
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit("?utm_source=x&id="), id.cast("string"), lit("&utm_c=2")))
+          .when(id % 5 === 1, concat(lit("?id="), id.cast("string")))
+          .when(id % 5 === 2, lit("?utm_only=1")).otherwise(lit("")),
+        when(id % 6 === 0, lit("#Sec1")).otherwise(lit("")))
+      docs(s, dir).select(id, TextOps.canonicalizeUrl(raw).as("canon_url"))
+        .orderBy("doc_id")
+    }),
+
+    "q_pack_chunks" -> ((s, dir) => {
+      // sequence packing: greedy token-budget bins in stable id order,
+      // parallel by deterministic 100-id groups; the greedy fold is
+      // integer-exact and mirrored by a recursive-CTE oracle
+      val toks = docs(s, dir).withColumn("n_tok", TextOps.tokenCount(col("text")))
+      PackOps.packChunks(toks, "doc_id", "n_tok", budget = 256, groupSize = 100)
+        .toDF()
+        .orderBy("doc_id")
     }),
 
     "q_docs_top_term" -> ((s, dir) => {
@@ -1017,6 +1102,85 @@ object SparkEntry {
         |  cast(least(nt, chunk_idx * 24 + 32) AS int) AS tok_end
         |FROM (SELECT doc_id, nt, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_docs_split" ->
+      """SELECT doc_id,
+        |  cast(('0x' || substr(md5(text), 1, 6))::BIGINT % 100 AS int) AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(text), 1, 6))::BIGINT % 100 < 90 THEN 'train'
+        |       WHEN ('0x' || substr(md5(text), 1, 6))::BIGINT % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_url_canon" ->
+      """SELECT doc_id,
+        |  concat(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END,
+        |    '://example', cast(doc_id % 7 AS varchar), '.com',
+        |    CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END,
+        |    '/Path/', cast(doc_id AS varchar),
+        |    CASE WHEN doc_id % 5 IN (0, 1) THEN '?id=' || cast(doc_id AS varchar) ELSE '' END
+        |  ) AS canon_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pack_chunks" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id // 100 AS grp,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+        |    row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT grp, rn, doc_id, n_tok, n_tok AS cum, 0 AS bin FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.grp, t.rn, t.doc_id, t.n_tok,
+        |    CASE WHEN rec.cum + t.n_tok > 256 THEN t.n_tok ELSE rec.cum + t.n_tok END,
+        |    CASE WHEN rec.cum + t.n_tok > 256 THEN rec.bin + 1 ELSE rec.bin END
+        |  FROM rec JOIN t ON t.grp = rec.grp AND t.rn = rec.rn + 1)
+        |SELECT doc_id, grp, cast(bin AS int) AS bin, cast(cum AS int) AS cum_tok
+        |FROM rec ORDER BY doc_id""".stripMargin,
+
+    "q_pretrain_e2e" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, text, toks,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS varchar[])
+        |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS bi,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        |  FROM tok),
+        |kept AS (SELECT doc_id, toks FROM q
+        |  WHERE NOT (len(toks) < 24) AND NOT (n_stop * 20 < len(toks))
+        |    AND NOT (n_punct * 5 > length(text))
+        |    AND NOT ((len(bi) - len(list_distinct(bi))) * 4 > len(bi))),
+        |t3 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS varchar[])
+        |    ELSE list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM kept),
+        |u AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM t3),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter,
+        |             any_value(a.n) AS na, any_value(b.n) AS nb
+        |      FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT ia AS a, ib AS b FROM p WHERE inter * 1.0 / (na + nb - inter) >= 0.5),
+        |ed AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.id),
+        |cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+        |surv AS (SELECT k.doc_id FROM kept k LEFT JOIN cl ON k.doc_id = cl.id
+        |         WHERE cl.id IS NULL OR cl.cluster = k.doc_id),
+        |s5 AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN CAST([] AS varchar[])
+        |    ELSE list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END) AS sh
+        |  FROM tok),
+        |bset AS (SELECT DISTINCT unnest(sh) AS s FROM s5 WHERE doc_id % 5 = 0),
+        |tr5 AS (SELECT doc_id, unnest(sh) AS s FROM s5 WHERE doc_id % 5 <> 0),
+        |contam AS (SELECT DISTINCT tr5.doc_id FROM tr5 JOIN bset ON tr5.s = bset.s)
+        |SELECT surv.doc_id FROM surv
+        |WHERE surv.doc_id % 5 <> 0
+        |  AND surv.doc_id NOT IN (SELECT doc_id FROM contam)
+        |ORDER BY surv.doc_id""".stripMargin,
 
     "q_docs_oov" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

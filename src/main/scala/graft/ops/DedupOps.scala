@@ -442,6 +442,11 @@ object DedupOps {
     * Clustering runs `strict = true`: silently dropping *keepers* because
     * label propagation had not converged would corrupt the corpus, so an
     * unconverged graph fails fast instead.
+    *
+    * `df` is consumed several times (signature pass, fingerprint-group
+    * join, candidate-text re-read, final anti-join): when its lineage is
+    * more than a plain scan — e.g. a quality-filtered view — persist or
+    * checkpoint it first, or every consumption re-runs that lineage.
     */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.8, k: Int = 3,

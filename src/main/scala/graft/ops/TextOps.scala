@@ -165,6 +165,69 @@ object TextOps {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** Deterministic content-hash bucket in [0, 100): the first 24 md5 bits
+    * of the content, mod 100. Stable across runs, partition layouts, AND
+    * engines (md5 is standardized), which is what makes it the right key
+    * for reproducible train/val/test splits — a `rand()` split changes
+    * membership on every re-run and re-partition.
+    */
+  def splitBucket(c: Column): Column =
+    conv(substring(md5(c), 1, 6), 16, 10).cast("long") % 100
+
+  /** Reproducible corpus split label from the content-hash bucket:
+    * buckets [0, trainPct) → "train", [trainPct, trainPct+valPct) → "val",
+    * rest → "test". A doc's assignment depends only on its content.
+    */
+  def stableSplit(c: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    bindOnce(splitBucket(c)) { b =>
+      when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
+    }
+  }
+
+  /** Canonicalize a URL into a dedup key — the web-pipeline normalization
+    * that collapses crawl-duplicate URLs before content ever loads:
+    *  1. drop the fragment (`#...`);
+    *  2. lowercase the scheme and host (ONLY them — path case is
+    *     significant);
+    *  3. strip a leading `www.`;
+    *  4. strip default ports (`:80` for http, `:443` for https);
+    *  5. drop `utm_*` tracking query parameters (empty query → no `?`);
+    *  6. strip trailing slashes from the path.
+    * Native column expressions end to end (regexp/higher-order functions
+    * in the Java-regex ∩ RE2 dialect, same discipline as [[redactPii]]),
+    * so the operator stays inside codegen and oracles exactly.
+    */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    bindOnce(noFrag) { u =>
+      // scheme://host[:port] prefix (no path/query chars), then the rest
+      val rawPrefix = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+      bindOnce(rawPrefix) { rawPre =>
+        val rest = substring(u, length(rawPre) + 1, lit(1000000))
+        val pre0 = lower(rawPre)
+        val pre1 = regexp_replace(pre0, "://www\\.", "://")
+        val pre = regexp_replace(
+          regexp_replace(pre1, "^(http://.*):80$", "$1"),
+          "^(https://.*):443$", "$1")
+        bindOnce(rest) { r =>
+          // split rest into path (before ?) and query (after ?)
+          val qpos = instr(r, "?")
+          val path0 = when(qpos > 0, substring(r, lit(1), (qpos - 1).cast("int")))
+            .otherwise(r)
+          val query = when(qpos > 0, substring(r, (qpos + 1).cast("int"), lit(1000000)))
+            .otherwise(lit(""))
+          val path = regexp_replace(path0, "/+$", "")
+          val kept = array_join(
+            filter(split(query, "&"), p => !p.startsWith("utm_")), "&")
+          concat(pre, path,
+            when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+        }
+      }
+    }
+  }
+
   /** PII-ish surface patterns for pretraining-corpus scrubbing. Kept to
     * regex constructs with identical semantics in Java regex (Spark) and
     * RE2 (DuckDB) so counts and redactions oracle exactly.

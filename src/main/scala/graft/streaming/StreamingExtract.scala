@@ -69,6 +69,39 @@ object StreamingExtract {
       .as[Turn]
   }
 
+  /** Streaming decontamination filter: drop turns that share any word
+    * `k`-gram with a STATIC benchmark corpus — the streaming face of
+    * `DedupOps.contamination`. The bench side is reduced to its distinct
+    * shingle set ONCE on the driver (fail-fast bounded: benchmarks are
+    * small by the decontamination contract) and broadcast; the stream
+    * filter is then stateless and map-side — no state store, no shuffle,
+    * safe at any stream rate. Shingling uses the same
+    * [[graft.ops.TextOps.shingles]] column as the batch operator, so
+    * batch and stream agree on what counts as contaminated.
+    */
+  def decontaminateStream(turns: Dataset[Turn], bench: DataFrame,
+                          benchTextCol: String = "text", k: Int = 13,
+                          maxBenchShingles: Int = 5000000): Dataset[Turn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val benchSet = bench
+      .select(explode(array_distinct(
+        graft.ops.TextOps.shingles(col(benchTextCol), k))).as("s"))
+      .distinct().as[String].collect().toSet
+    require(benchSet.size <= maxBenchShingles,
+      s"decontaminateStream: bench shingle set has ${benchSet.size} distinct " +
+        s"k-grams > $maxBenchShingles — too large to broadcast to a stream " +
+        "filter; decontaminate in batch (DedupOps.contamination falls back " +
+        "to a shuffle join) or raise the bound deliberately")
+    val bc = spark.sparkContext.broadcast(benchSet)
+    val hasHit = udf { (sh: Seq[String]) =>
+      sh != null && sh.exists(bc.value.contains)
+    }
+    turns.toDF()
+      .filter(!hasHit(graft.ops.TextOps.shingles(col("text"), k)))
+      .as[Turn]
+  }
+
   /** One banded MinHash row of a streaming document (the shuffle unit of
     * [[nearDupStream]]): the full signature rides along so candidate pairs
     * are verified in-state by estimated Jaccard instead of a second

@@ -210,6 +210,78 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     result.unpersist()
   }
 
+  test("stableSplit: deterministic, partition-independent, percentages honored") {
+    val rnd = new scala.util.Random(5)
+    val texts = (0 until 2000).map(i => (i.toLong, s"doc ${rnd.nextInt(1000000)} body $i"))
+    def run(parts: Int) = spark.createDataFrame(texts).toDF("id", "t").repartition(parts)
+      .select(col("id"), TextOps.stableSplit(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = run(2)
+    assert(a == run(13)) // content-only assignment: layout cannot change it
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03, frac.toString)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.05) < 0.02, frac.toString)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.05) < 0.02, frac.toString)
+    // same content -> same split, always
+    val dup = spark.createDataFrame(Seq((1L, "same text"), (2L, "same text"))).toDF("id", "t")
+      .select(TextOps.stableSplit(col("t"))).collect().map(_.getString(0)).toSet
+    assert(dup.size == 1)
+  }
+
+  test("canonicalizeUrl: each rule and their composition") {
+    val cases = Seq(
+      // fragment drop + host lowercase + www strip
+      "HTTP://WWW.ExAmple.CoM/Path#frag" -> "http://example.com/Path",
+      // default ports strip, non-default kept
+      "http://a.com:80/x" -> "http://a.com/x",
+      "https://a.com:443/x" -> "https://a.com/x",
+      "http://a.com:8080/x" -> "http://a.com:8080/x",
+      "https://a.com:80/x" -> "https://a.com:80/x", // :80 is NOT https default
+      // utm params dropped; fully-utm query loses the '?'
+      "http://a.com/p?utm_source=x&id=5&utm_c=2" -> "http://a.com/p?id=5",
+      "http://a.com/p?utm_only=1" -> "http://a.com/p",
+      // trailing path slashes stripped, path case preserved
+      "http://a.com/Some/Path///" -> "http://a.com/Some/Path",
+      // bare host
+      "http://a.com" -> "http://a.com",
+      // query with trailing-slash path
+      "http://a.com/p/?id=3" -> "http://a.com/p?id=3")
+    val df = spark.createDataFrame(cases.zipWithIndex.map { case ((u, _), i) => (i, u) })
+      .toDF("i", "u")
+    val got = df.select(col("i"), TextOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i) == want, s"$u -> ${got(i)} (want $want)")
+    }
+  }
+
+  test("packChunks: every doc in one bin, budgets respected, greedy order, determinism") {
+    val rnd = new scala.util.Random(17)
+    val docs = (0 until 500).map(i => (i.toLong, 10 + rnd.nextInt(90)))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "n_tok")
+    def run(parts: Int) = PackOps.packChunks(df.repartition(parts), "doc_id", "n_tok",
+        budget = 128, groupSize = 50)
+      .collect().map(p => p.doc_id -> ((p.grp, p.bin, p.cum_tok))).toMap
+    val got = run(3)
+    assert(got == run(11)) // layout-independent
+    assert(got.keySet == docs.map(_._1).toSet) // total: every doc exactly once
+    // replay the greedy fold per group and compare exactly
+    docs.groupBy(_._1 / 50).foreach { case (grp, members) =>
+      var bin = 0; var cum = 0
+      members.sortBy(_._1).zipWithIndex.foreach { case ((id, tok), i) =>
+        if (i == 0) cum = tok
+        else if (cum + tok > 128) { bin += 1; cum = tok }
+        else cum += tok
+        assert(got(id) == ((grp, bin, cum)), s"doc $id")
+      }
+    }
+    // an oversized single doc occupies its own bin rather than vanishing
+    val big = spark.createDataFrame(Seq((0L, 50), (1L, 999), (2L, 50))).toDF("doc_id", "n_tok")
+    val packed = PackOps.packChunks(big, "doc_id", "n_tok", budget = 100, groupSize = 10)
+      .collect().map(p => p.doc_id -> p.bin).toMap
+    assert(packed == Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+
   test("pii signals and redaction: counts, order of redaction, no false hits") {
     val df = spark.createDataFrame(Seq(
       (1L, "mail me at a.b+c@test.org or see https://x.test/path?id=12345678 code 99887766"),

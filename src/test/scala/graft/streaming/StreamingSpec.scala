@@ -275,6 +275,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally if (q.isActive) q.stop()
   }
 
+  test("streaming decontamination drops bench-overlapping turns, keeps clean ones") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))).toDF("bid", "text")
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.decontaminateStream(input.toDS(), bench, "text", k = 5)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(conv: String, text: String, off: Long) =
+        Turn(conv, 0, "user", text, "", new Timestamp(1700000000000L + off))
+      input.addData(
+        t("dirty", "prefix words then the quick brown fox jumps over more text", 0),
+        t("clean", "completely unrelated sentence with no benchmark overlap at all", 1))
+      q.processAllAvailable()
+      input.addData(t("clean2", "another clean one here definitely fine", 2))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("decon_out").collect().map(_.getAs[String]("conv_id")).toSet
+      assert(got == Set("clean", "clean2"), got.mkString(","))
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("streaming decontamination fails fast on an over-limit bench set") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = spark.createDataFrame(Seq(
+      (1L, "one two three four five six seven eight nine ten"))).toDF("bid", "text")
+    val input = MemoryStream[Turn]
+    intercept[IllegalArgumentException] {
+      StreamingExtract.decontaminateStream(input.toDS(), bench, "text", k = 3,
+        maxBenchShingles = 2)
+    }
+  }
+
   test("watermarked windowed aggregation produces per-conversation counts") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

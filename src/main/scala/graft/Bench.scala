@@ -24,36 +24,36 @@ object Bench {
     */
   val recordedQuerySeconds: Map[String, Double] = Map(
     // measured in BENCH_local_r4.json (solo run at HEAD), +30% margin
-    "q_agg_pricing" -> 3.5, "q_ann_ivf" -> 4.6, "q_ann_ivf_disk" -> 3.5,
-    "q_ann_lsh" -> 2.1, "q_ann_lsh_disk" -> 1.9, "q_ann_top1" -> 1.8,
-    "q_ann_topk" -> 1.9, "q_anti_join" -> 0.6, "q_asof_join" -> 1.6,
-    "q_contamination" -> 4.3, "q_contamination_spans" -> 2.5,
-    "q_cube_orders" -> 1.3, "q_dates" -> 0.4, "q_dedup_clusters" -> 13.6,
-    "q_dedup_embedding" -> 5.1, "q_dedup_exact" -> 0.7, "q_dedup_keepers"
-    -> 14.6, "q_dedup_minhash" -> 7.7, "q_dedup_simhash" -> 5.2,
-    "q_docs_bpe_tokens" -> 1.0, "q_docs_chunks" -> 1.1,
-    "q_docs_filter_flags" -> 3.3, "q_docs_fingerprint" -> 1.2,
-    "q_docs_langid" -> 1.7, "q_docs_oov" -> 1.2, "q_docs_pii" -> 1.7,
-    "q_docs_quality" -> 1.0, "q_docs_quality_score" -> 1.0,
-    "q_docs_repetition" -> 1.8, "q_docs_rollhash" -> 0.5, "q_docs_split"
-    -> 0.8, "q_docs_tokens" -> 0.9, "q_docs_top_term" -> 1.7,
-    "q_escape_constructed" -> 0.5, "q_events_daily" -> 0.6,
-    "q_filter_dates" -> 0.5, "q_having_custs" -> 0.6,
-    "q_html_main_content" -> 0.9, "q_html_strip_constructed" -> 0.6,
-    "q_join_segment_sales" -> 1.0, "q_json_events" -> 1.6,
-    "q_langid_ngram" -> 1.3, "q_media_features" -> 0.6, "q_media_frames"
-    -> 0.5, "q_media_resize" -> 0.4, "q_pack_chunks" -> 0.7,
-    "q_percentiles" -> 0.6, "q_pipeline_assembly" -> 1.5,
-    "q_pipeline_errors" -> 0.5, "q_pipeline_extract" -> 0.5,
-    "q_pipeline_html" -> 0.6, "q_pipeline_offsets" -> 0.6,
-    "q_pretrain_e2e" -> 23.1, "q_render_constructed" -> 0.5,
-    "q_rollup_orders" -> 1.1, "q_scalar_funcs" -> 0.4, "q_semi_join" ->
-    0.6, "q_sessionize" -> 1.6, "q_set_customers" -> 0.8, "q_span_lineage"
-    -> 0.6, "q_span_lineage_render" -> 0.5, "q_strip_constructed" -> 0.5,
-    "q_strip_native_expr" -> 0.4, "q_token_jaccard" -> 1.0, "q_topk_docs"
-    -> 0.3, "q_url_canon" -> 0.9, "q_vocab_top" -> 0.5, "q_window_running"
-    -> 0.5, "q_window_top_event" -> 0.6, "x_bpe_merges" -> 0.7,
-    "x_extract_transcripts" -> 0.5
+    "q_agg_pricing" -> 3.9, "q_ann_ivf" -> 4.0, "q_ann_ivf_disk" -> 3.3,
+    "q_ann_lsh" -> 1.9, "q_ann_lsh_disk" -> 2.0, "q_ann_top1" -> 2.1,
+    "q_ann_topk" -> 1.9, "q_anti_join" -> 0.7, "q_asof_join" -> 2.2,
+    "q_contamination" -> 4.1, "q_contamination_spans" -> 2.2,
+    "q_cube_orders" -> 1.2, "q_dates" -> 0.5, "q_dedup_clusters" -> 12.3,
+    "q_dedup_embedding" -> 4.0, "q_dedup_exact" -> 0.7, "q_dedup_keepers"
+    -> 10.4, "q_dedup_minhash" -> 6.2, "q_dedup_simhash" -> 3.2,
+    "q_docs_bpe_tokens" -> 0.6, "q_docs_chunks" -> 0.6,
+    "q_docs_filter_flags" -> 2.0, "q_docs_fingerprint" -> 0.7,
+    "q_docs_langid" -> 1.1, "q_docs_oov" -> 1.2, "q_docs_pii" -> 1.5,
+    "q_docs_quality" -> 0.8, "q_docs_quality_score" -> 0.7,
+    "q_docs_repetition" -> 1.4, "q_docs_rollhash" -> 0.3, "q_docs_split"
+    -> 0.5, "q_docs_tokens" -> 0.6, "q_docs_top_term" -> 1.1,
+    "q_escape_constructed" -> 0.4, "q_events_daily" -> 0.5,
+    "q_filter_dates" -> 0.3, "q_having_custs" -> 0.4,
+    "q_html_main_content" -> 0.6, "q_html_strip_constructed" -> 0.4,
+    "q_join_segment_sales" -> 0.8, "q_json_events" -> 1.1,
+    "q_langid_ngram" -> 1.0, "q_media_features" -> 0.5, "q_media_frames"
+    -> 0.5, "q_media_resize" -> 0.3, "q_pack_chunks" -> 0.6,
+    "q_percentiles" -> 0.4, "q_pipeline_assembly" -> 1.1,
+    "q_pipeline_errors" -> 0.4, "q_pipeline_extract" -> 0.5,
+    "q_pipeline_html" -> 0.5, "q_pipeline_offsets" -> 0.5,
+    "q_pretrain_e2e" -> 20.5, "q_render_constructed" -> 0.4,
+    "q_rollup_orders" -> 0.9, "q_scalar_funcs" -> 0.3, "q_semi_join" ->
+    0.5, "q_sessionize" -> 1.2, "q_set_customers" -> 0.7, "q_span_lineage"
+    -> 0.5, "q_span_lineage_render" -> 0.4, "q_strip_constructed" -> 0.4,
+    "q_strip_native_expr" -> 0.4, "q_token_jaccard" -> 0.9, "q_topk_docs"
+    -> 0.3, "q_url_canon" -> 0.6, "q_vocab_top" -> 0.4, "q_window_running"
+    -> 0.6, "q_window_top_event" -> 0.6, "x_bpe_merges" -> 0.7,
+    "x_extract_transcripts" -> 0.4
   )
 
   /** A regression fires above 3× the recorded time AND above a 1.5 s
@@ -127,6 +127,11 @@ object Bench {
     * (max-min)/min over the timed runs; NaNs when taskset is unavailable.
     */
   private def pinned16(benchTurns: Long, parts: Int): (Double, Double, Double) = {
+    // capture the restore mask BEFORE pinning: availableProcessors() read
+    // after taskset reflects the pinned mask (16), so reading it late
+    // "restores" to the pin itself and every later measurement silently
+    // runs on half the machine (exactly the round-4 bug this fixes)
+    val restoreSpec = "0-" + (Runtime.getRuntime.availableProcessors() - 1)
     if (!setAffinity("0-15")) return (Double.NaN, Double.NaN, Double.NaN)
     try {
       val s = session(16)
@@ -143,7 +148,7 @@ object Bench {
         val spread = (runs.last - runs.head) / runs.head
         (median, benchTurns / median, spread)
       } finally s.stop()
-    } finally setAffinity("0-" + (Runtime.getRuntime.availableProcessors() - 1))
+    } finally setAffinity(restoreSpec)
   }
 
   /** Pure-CPU scaling ceiling of the host itself: the same fixed-work spin

@@ -377,16 +377,46 @@ object DedupOps {
                                 checkpointDir: Option[String] = None): CcResult = {
     val spark = pairs.sparkSession
     // Lineage truncation per round is mandatory (see below); the flavor is
-    // a deployment choice: `localCheckpoint` (executor-local blocks, fast,
-    // lost with an executor) for single-box / ephemeral runs, reliable
-    // `checkpoint` (HDFS/object store) so a 1000-executor cluster recovers
-    // rounds instead of restarting the whole loop on executor loss.
-    val truncate: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        spark.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
-      case None => df => df.localCheckpoint(eager = true)
-    }
+    // a deployment choice: `localCheckpoint` (executor-local blocks, freed
+    // with the session, lost with an executor) for single-box / ephemeral
+    // runs, reliable `checkpoint` (HDFS/object store) so a 1000-executor
+    // cluster recovers rounds instead of restarting the whole loop on
+    // executor loss. Reliable rounds are CLEANED as the loop advances
+    // (Spark never deletes checkpoints itself — cleanCheckpoints defaults
+    // off, and maxIter full label copies at 10^12-vertex scale is real
+    // storage): each invocation writes under its own cc-<uuid> subdir, and
+    // a superseded round's rdd dir is deleted once the next round is
+    // materialized AND the change-count that reads it has run. The FINAL
+    // round's files back the returned frame — the caller deletes the
+    // subdir when done with the labels.
+    val (truncate, cleanupSuperseded): (DataFrame => DataFrame, () => Unit) =
+      checkpointDir match {
+        case Some(dir) =>
+          import org.apache.hadoop.fs.Path
+          val unique = s"$dir/cc-${java.util.UUID.randomUUID()}"
+          spark.sparkContext.setCheckpointDir(unique)
+          val fs = new Path(unique).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          def rddDirs(): Set[String] = {
+            val base = new Path(unique)
+            if (!fs.exists(base)) Set.empty
+            else fs.listStatus(base).toSeq.flatMap { u =>
+              if (!u.isDirectory) Nil
+              else fs.listStatus(u.getPath).toSeq.collect {
+                case s if s.isDirectory && s.getPath.getName.startsWith("rdd-") =>
+                  s.getPath.toString
+              }
+            }.toSet
+          }
+          var deletable = Set.empty[String]
+          val trunc: DataFrame => DataFrame = df => {
+            val before = rddDirs()
+            val out = df.checkpoint(eager = true)
+            deletable = before
+            out
+          }
+          (trunc, () => deletable.foreach(d => fs.delete(new Path(d), true)))
+        case None => (df => df.localCheckpoint(eager = true), () => ())
+      }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -414,6 +444,7 @@ object DedupOps {
         .join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old")).count()
       labels = updated
+      cleanupSuperseded() // previous round's reliable checkpoint, if any
       iter += 1
     }
     if (changed > 0)
@@ -477,18 +508,20 @@ object DedupOps {
     * strings (used by the SQL-oracled query).
     *
     * The broadcast is GUARDED, not assumed: the distinct bench shingle set
-    * is counted first (one cheap aggregate over the small side only) and
-    * the broadcast hint applies only below `benchBroadcastLimit` rows
-    * (default 5×10⁷ ≈ well under Spark's 8 GB broadcast ceiling even for
-    * string keys). Above the limit the join runs un-hinted — a shuffle
-    * hash/sort-merge join that is slower but completes, instead of a
-    * driver/broadcast OOM on a caller who passed a "benchmark" that is
-    * really a corpus.
+    * is materialized once (checkpointed — the count and the join share one
+    * computation) and the broadcast hint applies only below
+    * `benchBroadcastLimit` rows. The default limit is type-aware: 5×10⁷
+    * 8-byte keys (~0.4 GB) when `hashed`, but 5×10⁶ when the keys are
+    * k-word STRINGS (~100 B each — 5×10⁷ of them would blow Spark's 8 GB
+    * broadcast ceiling). Above the limit the join runs un-hinted — a
+    * shuffle hash/sort-merge join that is slower but completes, instead of
+    * a driver/broadcast OOM on a caller who passed a "benchmark" that is
+    * really a corpus. Pass `benchBroadcastLimit` explicitly to override.
     */
   def contamination(train: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String,
                     k: Int = 13, hashed: Boolean = true,
-                    benchBroadcastLimit: Long = 50000000L): DataFrame =
+                    benchBroadcastLimit: Long = -1L): DataFrame =
     contaminationJoined(train, bench, idCol, textCol, k, hashed, benchBroadcastLimit)
       .groupBy("id")
       .agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
@@ -503,7 +536,7 @@ object DedupOps {
   def contaminationSpans(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          k: Int = 13, hashed: Boolean = true,
-                         benchBroadcastLimit: Long = 50000000L): DataFrame =
+                         benchBroadcastLimit: Long = -1L): DataFrame =
     contaminationJoined(train, bench, idCol, textCol, k, hashed, benchBroadcastLimit,
       withPos = true)
 
@@ -518,19 +551,27 @@ object DedupOps {
                                   benchBroadcastLimit: Long,
                                   withPos: Boolean = false): DataFrame = {
     def key(c: Column): Column = if (hashed) xxhash64(c) else c
+    // type-aware default: string keys are ~10x the bytes of hashed longs
+    val limit =
+      if (benchBroadcastLimit >= 0) benchBroadcastLimit
+      else if (hashed) 50000000L
+      else 5000000L
+    // The distinct-shingle aggregate is materialized ONCE (eager
+    // localCheckpoint): the guard count and the join both read the
+    // checkpointed blocks instead of re-running the explode+distinct
+    // lineage; blocks are GC-freed with the frame.
     val benchSet = bench
       .select(explode(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
       .select(key(col("s")).as("sh"))
       .distinct()
-    // guard the forced broadcast: count the small side before hinting (the
-    // count scans the bench side only; the train corpus is untouched)
+      .localCheckpoint(true)
     val benchRows = benchSet.count()
     val benchJoinSide =
-      if (benchRows <= benchBroadcastLimit) broadcast(benchSet)
+      if (benchRows <= limit) broadcast(benchSet)
       else {
         org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
           s"contamination: bench shingle set has $benchRows distinct k-grams > " +
-            s"broadcast limit $benchBroadcastLimit — falling back to a shuffle join")
+            s"broadcast limit $limit — falling back to a shuffle join")
         benchSet
       }
     val trainRows =

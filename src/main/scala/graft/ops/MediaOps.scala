@@ -137,8 +137,12 @@ object MediaOps {
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (payload == null || payload.isEmpty || !codecAvailable) None
     else
+      // NonFatal, not just IOException: ImageIO plugins throw unchecked
+      // exceptions (CMMException, IllegalArgumentException, index errors)
+      // on truncated/adversarial payloads — a crawl corpus WILL contain
+      // them, and one such row must fall back, not kill the stage
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
   private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -220,7 +224,10 @@ object MediaOps {
     * stage and the codec stage's undecodable fallback).
     */
   private def stubResizeRow(m: MediaFile, targetW: Int, targetH: Int): MediaFile =
-    if (m.kind != "image" || m.width <= 0 || m.height <= 0) m
+    // empty payload with intact metadata (failed download) passes through
+    // rather than indexing an empty array below
+    if (m.kind != "image" || m.width <= 0 || m.height <= 0 ||
+        m.payload == null || m.payload.isEmpty) m
     else {
       val scale = math.min(1.0,
         (targetW.toLong * targetH).toDouble / (m.width.toLong * m.height))

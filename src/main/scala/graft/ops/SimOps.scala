@@ -264,17 +264,19 @@ object SimOps {
     val spark = index.assigned.sparkSession
     val bc = spark.sparkContext.broadcast(index.centroids)
     val probeUdf = udf { (v: Seq[Float]) => topCells(bc.value, v, nprobe) }
-    // Materialize the routed query side ONCE, distributed (persist+count,
-    // NOT a driver collect — a large query batch must never serialize
-    // through the driver): the cached blocks feed both the probed-cell
-    // aggregate and the join, so a non-deterministic `queries` frame
-    // cannot route to cells the pruning filter dropped, and the routing
-    // UDF runs once, not once per consumer.
+    // Materialize the routed query side ONCE, distributed (an eager
+    // localCheckpoint, NOT a driver collect — a large query batch must
+    // never serialize through the driver): the checkpointed blocks feed
+    // both the probed-cell aggregate and the join, the routing UDF runs
+    // once, and because the lineage is TRUNCATED a non-deterministic
+    // `queries` frame cannot silently re-route to cells the pruning
+    // filter dropped (a lost block fails the query instead of recomputing
+    // differently). Blocks are freed when the frame is GC'd — no
+    // caller-release contract, safe in a serving loop.
     val routed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    routed.count()
+      .localCheckpoint(true)
 
     // static partition pruning from a tiny distinct aggregate (≤ nCells
     // ints reach the driver — never query rows): an on-disk index reads
@@ -287,16 +289,8 @@ object SimOps {
     val scored = broadcast(routed).join(pruned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    // Materialize the (queries×k-bounded) result, then release the routed
-    // cache — a query-serving loop must not accumulate per-call cache
-    // entries. The returned frame owns its own (small) cache; callers
-    // release it with result.unpersist() when done.
-    val result = topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
+    topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
       .select("query_id", "neighbor_id", "rank", "sim")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    routed.unpersist(blocking = false)
-    result
   }
 
   /** IVF (inverted-file) approximate top-k: coarse centroids partition the
@@ -370,27 +364,24 @@ object SimOps {
     * index reads ONLY those bucket directories — `PartitionFilters` in the
     * scan), broadcast-join on the signature, exact-cosine rank within the
     * bucket via the bounded-heap top-k. Same routed-side discipline as
-    * [[ivfQuery]]: persist+count (never a driver collect of query rows);
+    * [[ivfQuery]]: an eager localCheckpoint (never a driver collect of query rows);
     * only the distinct signature set (≤ queries, usually ≪) reaches the
     * driver for the pruning filter.
     */
   def lshQuery(index: LshIndex, queries: DataFrame, k: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // same routed-side discipline as [[ivfQuery]]: eager localCheckpoint —
+    // distributed, computed once, lineage-truncated, GC-freed
     val routed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         lshSignature(col(vecCol), index.bits).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    routed.count()
+      .localCheckpoint(true)
     val probedSigs = routed.select("sig").distinct().collect().map(_.getLong(0)).toSeq
     val pruned = index.signed.filter(col("sig").isin(probedSigs: _*))
 
     val scored = broadcast(routed).join(pruned, Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val result = topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
+    topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
       .select("query_id", "neighbor_id", "rank", "sim")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    routed.unpersist(blocking = false)
-    result
   }
 }

@@ -84,15 +84,24 @@ object StreamingExtract {
                           maxBenchShingles: Int = 5000000): Dataset[Turn] = {
     val spark = turns.sparkSession
     import spark.implicits._
-    val benchSet = bench
+    val benchDistinct = bench
       .select(explode(array_distinct(
         graft.ops.TextOps.shingles(col(benchTextCol), k))).as("s"))
-      .distinct().as[String].collect().toSet
-    require(benchSet.size <= maxBenchShingles,
-      s"decontaminateStream: bench shingle set has ${benchSet.size} distinct " +
-        s"k-grams > $maxBenchShingles — too large to broadcast to a stream " +
-        "filter; decontaminate in batch (DedupOps.contamination falls back " +
-        "to a shuffle join) or raise the bound deliberately")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // guard BEFORE collecting: a counted-first overflow fails with a clear
+    // message instead of the driver OOM the guard exists to prevent
+    val nShingles = benchDistinct.count()
+    if (nShingles > maxBenchShingles) {
+      benchDistinct.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"decontaminateStream: bench shingle set has $nShingles distinct " +
+          s"k-grams > $maxBenchShingles — too large to broadcast to a stream " +
+          "filter; decontaminate in batch (DedupOps.contamination falls back " +
+          "to a shuffle join) or raise the bound deliberately")
+    }
+    val benchSet = benchDistinct.as[String].collect().toSet
+    benchDistinct.unpersist(blocking = false)
     val bc = spark.sparkContext.broadcast(benchSet)
     val hasHit = udf { (sh: Seq[String]) =>
       sh != null && sh.exists(bc.value.contains)

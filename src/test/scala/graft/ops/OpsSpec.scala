@@ -188,26 +188,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = result.queryExecution.executedPlan.toString()
     assert("PartitionFilters: \\[[^\\]]*sig".r.findFirstIn(plan).isDefined,
       s"expected a non-empty sig partition filter in the index scan:\n$plan")
-    result.unpersist()
   }
 
-  test("ivfQuery routes queries through cached distributed blocks, not the driver") {
-    // the routed side must reach the join via its persisted blocks
-    // (InMemoryTableScan), never as a driver-rebuilt local relation — the
-    // shape that would serialize a large query batch through the driver
+  test("ivfQuery routes queries through checkpointed distributed blocks, not the driver") {
+    // the routed side must reach the join via its localCheckpoint blocks
+    // (a Scan ExistingRDD over the truncated lineage), never as a
+    // driver-rebuilt LocalTableScan of query rows — the shape that would
+    // serialize a large query batch through the driver. The corpus fixture
+    // is itself a local relation, so assert on the routed columns
+    // specifically: no LocalTableScan carrying the routed (cell, qv) side.
     val rnd = new scala.util.Random(31)
     val vecs = (0 until 120).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
     val corpus = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
     val index = SimOps.buildIvfIndex(corpus, nCells = 6)
     val queries = corpus.filter(col("vec_id") < 5)
     val result = SimOps.ivfQuery(index, queries, k = 2, nprobe = 2)
-    // the executed join plan must read the routed side from its persisted
-    // blocks — an InMemoryTableScan, the only cached frame in this plan
     val plan = result.queryExecution.executedPlan.toString()
-    assert(plan.contains("InMemoryTableScan"),
-      s"routed query side must come from cached distributed blocks:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"routed query side must come from checkpointed distributed blocks:\n$plan")
+    assert(!"LocalTableScan.*\\bqv\\b".r.unanchored.matches(plan),
+      s"routed query rows must not round-trip through the driver:\n$plan")
     assert(result.count() == 10)
-    result.unpersist()
   }
 
   test("stableSplit: deterministic, partition-independent, percentages honored") {

@@ -473,6 +473,23 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "q_docs_dedup_lines" -> ((s, dir) => {
+      // within-doc duplicate-line removal (first occurrence kept, order
+      // preserved): construct a 5-line doc with planted repeats around the
+      // corpus text; both engines run the same first-occurrence-index
+      // filter over their split arrays
+      val doc = concat(lit("nav\n"), col("text"), lit("\nnav\n"),
+        col("text"), lit("\nfooter"))
+      docs(s, dir)
+        .withColumn("doc", doc)
+        .select(col("doc_id"),
+          TextOps.dedupLines(col("doc")).as("cleaned"),
+          size(split(col("doc"), "\n")).cast("int").as("n_lines_before"))
+        .withColumn("n_lines_after",
+          size(split(col("cleaned"), "\n")).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     "q_docs_split" -> ((s, dir) => {
       // reproducible train/val/test split by content hash (md5-prefix
       // bucket): assignment depends only on the text, so it is stable
@@ -1102,6 +1119,19 @@ object SparkEntry {
         |  cast(least(nt, chunk_idx * 24 + 32) AS int) AS tok_end
         |FROM (SELECT doc_id, nt, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_docs_dedup_lines" ->
+      """WITH t AS (SELECT doc_id,
+        |    'nav' || chr(10) || text || chr(10) || 'nav' || chr(10) || text || chr(10) || 'footer' AS d
+        |  FROM documents),
+        |s AS (SELECT doc_id, d, str_split(d, chr(10)) AS ls FROM t),
+        |c AS (SELECT doc_id,
+        |    array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)) AS cleaned,
+        |    cast(len(ls) AS int) AS n_lines_before
+        |  FROM s)
+        |SELECT doc_id, cleaned, n_lines_before,
+        |  cast(len(str_split(cleaned, chr(10))) AS int) AS n_lines_after
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_docs_split" ->
       """SELECT doc_id,

@@ -165,6 +165,21 @@ object TextOps {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** Remove duplicate lines within a document, keeping the FIRST
+    * occurrence and preserving order — the within-doc boilerplate cleanup
+    * (repeated nav rows, cookie banners, headers) pretraining pipelines
+    * run before any cross-doc dedup. Native higher-order functions with a
+    * first-occurrence-index filter (`array_distinct` does not guarantee
+    * order in every engine; the index filter does, and is mirrored
+    * exactly by DuckDB's 1-based `list_position`/lambda-index pair).
+    * O(lines²) per document — lines per doc are bounded and the work is
+    * map-side, inside codegen, zero shuffle.
+    */
+  def dedupLines(c: Column, sep: String = "\n"): Column =
+    bindOnce(split(c, java.util.regex.Pattern.quote(sep))) { ls =>
+      array_join(filter(ls, (x, i) => array_position(ls, x) === i + 1), sep)
+    }
+
   /** Deterministic content-hash bucket in [0, 100): the first 24 md5 bits
     * of the content, mod 100. Stable across runs, partition layouts, AND
     * engines (md5 is standardized), which is what makes it the right key

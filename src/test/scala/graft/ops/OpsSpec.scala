@@ -229,6 +229,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dup.size == 1)
   }
 
+  test("dedupLines: first occurrence kept, order preserved, non-adjacent repeats removed") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nbody one\nfooter"),
+      (2L, "only\none\nof\neach"),
+      (3L, "same\nsame\nsame"),
+      (4L, "single"))).toDF("id", "t")
+    val r = df.select(col("id"), TextOps.dedupLines(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1L) == "nav\nbody one\nbody two\nfooter")
+    assert(r(2L) == "only\none\nof\neach")
+    assert(r(3L) == "same")
+    assert(r(4L) == "single")
+  }
+
   test("canonicalizeUrl: each rule and their composition") {
     val cases = Seq(
       // fragment drop + host lowercase + www strip

@@ -369,9 +369,13 @@ object DedupOps {
     * refinement — every label is some reachable id — but long chains may
     * not have fully collapsed). Callers that must not silently accept a
     * partial labeling check this field or use `connectedComponents(strict
-    * = true)`.
+    * = true)`. `checkpointPath` is the invocation's private cc-<uuid>
+    * reliable-checkpoint subdir (None on the localCheckpoint path): it
+    * backs the returned `labels` frame, so the caller deletes it once done
+    * consuming the labels.
     */
-  final case class CcResult(labels: DataFrame, converged: Boolean, iterations: Int)
+  final case class CcResult(labels: DataFrame, converged: Boolean, iterations: Int,
+                            checkpointPath: Option[String] = None)
 
   def connectedComponentsStatus(pairs: DataFrame, maxIter: Int = 20,
                                 checkpointDir: Option[String] = None): CcResult = {
@@ -387,13 +391,28 @@ object DedupOps {
     // storage): each invocation writes under its own cc-<uuid> subdir, and
     // a superseded round's rdd dir is deleted once the next round is
     // materialized AND the change-count that reads it has run. The FINAL
-    // round's files back the returned frame — the caller deletes the
-    // subdir when done with the labels.
+    // round's files back the returned frame — its cc-<uuid> path is
+    // returned in CcResult.checkpointPath for the caller to delete when
+    // done with the labels.
+    //
+    // CAVEAT (inherent to Spark's API): the checkpoint directory is a
+    // GLOBAL SparkContext setting. It is saved and restored around this
+    // loop, but another thread calling `.checkpoint()` concurrently with
+    // the loop can land its files in this invocation's cc-<uuid> dir and
+    // have them swept by the per-round cleanup. Reliable mode assumes the
+    // session's checkpoint users are sequential (the normal batch-pipeline
+    // shape); run concurrent checkpoint workloads on separate sessions.
+    // (If NO checkpoint dir was set before this call, Spark offers no
+    // unset API, so the session keeps pointing at this invocation's subdir
+    // afterwards — set your own dir before unrelated checkpoint work.)
+    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
+    var ccPath: Option[String] = None
     val (truncate, cleanupSuperseded): (DataFrame => DataFrame, () => Unit) =
       checkpointDir match {
         case Some(dir) =>
           import org.apache.hadoop.fs.Path
           val unique = s"$dir/cc-${java.util.UUID.randomUUID()}"
+          ccPath = Some(unique)
           spark.sparkContext.setCheckpointDir(unique)
           val fs = new Path(unique).getFileSystem(spark.sparkContext.hadoopConfiguration)
           def rddDirs(): Set[String] = {
@@ -453,7 +472,10 @@ object DedupOps {
           "changing — result is a valid refinement, not the full component labeling " +
           "(graph diameter exceeds the round cap)")
     edges.unpersist(blocking = false)
-    CcResult(labels.withColumnRenamed("label", "cluster"), changed == 0, iter)
+    // restore the session's checkpoint dir (a global setting this loop
+    // redirected); later .checkpoint() callers must not land in cc-<uuid>
+    prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    CcResult(labels.withColumnRenamed("label", "cluster"), changed == 0, iter, ccPath)
   }
 
   /** End-to-end dedup "keeper" composition — the form a pretraining
@@ -516,7 +538,9 @@ object DedupOps {
     * broadcast ceiling). Above the limit the join runs un-hinted — a
     * shuffle hash/sort-merge join that is slower but completes, instead of
     * a driver/broadcast OOM on a caller who passed a "benchmark" that is
-    * really a corpus. Pass `benchBroadcastLimit` explicitly to override.
+    * really a corpus. `benchBroadcastLimit`: `-1` (default) = the
+    * type-aware auto limit; `0` = never broadcast (always shuffle-join);
+    * positive = explicit row limit; other negatives are rejected.
     */
   def contamination(train: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String,
@@ -552,19 +576,25 @@ object DedupOps {
                                   withPos: Boolean = false): DataFrame = {
     def key(c: Column): Column = if (hashed) xxhash64(c) else c
     // type-aware default: string keys are ~10x the bytes of hashed longs
+    require(benchBroadcastLimit >= -1,
+      s"benchBroadcastLimit must be -1 (auto), 0 (never broadcast), or a " +
+        s"positive row limit; got $benchBroadcastLimit")
     val limit =
       if (benchBroadcastLimit >= 0) benchBroadcastLimit
       else if (hashed) 50000000L
       else 5000000L
-    // The distinct-shingle aggregate is materialized ONCE (eager
-    // localCheckpoint): the guard count and the join both read the
-    // checkpointed blocks instead of re-running the explode+distinct
-    // lineage; blocks are GC-freed with the frame.
+    // The distinct-shingle aggregate is computed ONCE and cached (persist,
+    // NOT checkpoint: lineage stays intact, so a lost executor recomputes
+    // the blocks instead of failing the job — this operator is pitched at
+    // cluster scale): the guard count and the join both read the cached
+    // blocks. The cache is released by Spark's ContextCleaner when the
+    // frame is GC'd; on the shuffle-join fallback path the same cache
+    // saves a second corpus-scale aggregation of the oversized bench side.
     val benchSet = bench
       .select(explode(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
       .select(key(col("s")).as("sh"))
       .distinct()
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val benchRows = benchSet.count()
     val benchJoinSide =
       if (benchRows <= limit) broadcast(benchSet)

@@ -258,6 +258,12 @@ object SimOps {
     * statically prune the index to exactly those cells (an on-disk index
     * reads ONLY the probed cell partitions — `PartitionFilters` in the
     * scan), broadcast-join, bounded-heap top-k merge.
+    *
+    * The returned frame is LAZY (standard Spark semantics): each action
+    * re-runs the join+top-k over the (materialized, checkpointed) routed
+    * side — results are identical across actions (the top-k aggregate
+    * breaks ties deterministically), but a caller consuming the result
+    * with several actions should cache it.
     */
   def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -215,7 +215,11 @@ object TextOps {
     * so the operator stays inside codegen and oracles exactly.
     */
   def canonicalizeUrl(c: Column): Column = {
-    val noFrag = regexp_replace(c, "#.*$", "")
+    // (?s) so the fragment strip crosses newlines in adversarial input,
+    // and \z anchors (not $, which also matches before a FINAL newline) —
+    // both are what make canonicalization IDEMPOTENT on arbitrary bytes
+    // (property-tested), not just on well-formed URLs
+    val noFrag = regexp_replace(c, "(?s)#.*", "")
     bindOnce(noFrag) { u =>
       // scheme://host[:port] prefix (no path/query chars), then the rest
       val rawPrefix = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
@@ -223,9 +227,11 @@ object TextOps {
         val rest = substring(u, length(rawPre) + 1, lit(1000000))
         val pre0 = lower(rawPre)
         val pre1 = regexp_replace(pre0, "://www\\.", "://")
+        // [^:]* host group: a malformed double port (":80:80") must not
+        // peel one layer per pass
         val pre = regexp_replace(
-          regexp_replace(pre1, "^(http://.*):80$", "$1"),
-          "^(https://.*):443$", "$1")
+          regexp_replace(pre1, "^(http://[^:]*):80\\z", "$1"),
+          "^(https://[^:]*):443\\z", "$1")
         bindOnce(rest) { r =>
           // split rest into path (before ?) and query (after ?)
           val qpos = instr(r, "?")
@@ -233,7 +239,7 @@ object TextOps {
             .otherwise(r)
           val query = when(qpos > 0, substring(r, (qpos + 1).cast("int"), lit(1000000)))
             .otherwise(lit(""))
-          val path = regexp_replace(path0, "/+$", "")
+          val path = regexp_replace(path0, "/+\\z", "")
           val kept = array_join(
             filter(split(query, "&"), p => !p.startsWith("utm_")), "&")
           concat(pre, path,

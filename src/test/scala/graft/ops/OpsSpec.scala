@@ -252,6 +252,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "https://a.com:443/x" -> "https://a.com/x",
       "http://a.com:8080/x" -> "http://a.com:8080/x",
       "https://a.com:80/x" -> "https://a.com:80/x", // :80 is NOT https default
+      "http://a.com:80:80/x" -> "http://a.com:80:80/x", // malformed: no partial peel
       // utm params dropped; fully-utm query loses the '?'
       "http://a.com/p?utm_source=x&id=5&utm_c=2" -> "http://a.com/p?id=5",
       "http://a.com/p?utm_only=1" -> "http://a.com/p",
@@ -267,6 +268,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     cases.zipWithIndex.foreach { case ((u, want), i) =>
       assert(got(i) == want, s"$u -> ${got(i)} (want $want)")
+    }
+  }
+
+  test("canonicalizeUrl and dedupLines: never throw and are idempotent on adversarial input") {
+    val rnd = new scala.util.Random(73)
+    val weird = Seq("", "   ", "#", "?", "http://", "://x", "a//b//", "?utm_=&&",
+      "HTTP://a.com/redirect=http://b.com?utm_a=1#x#y", "http://a.com:80:80/x",
+      "\nhttp://x\n", "utm_source=1", "https://:443", "http://a.com/?",
+      "http://a.com?utm_a=1", "a b", "🎉://emoji.path/☃?utm_☃=1")
+    val fuzz = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ =>
+        "ab:/?#&=._%\\\n\tXY №".charAt(rnd.nextInt(18))).mkString
+    }
+    val rows = (weird ++ fuzz).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+    val df = spark.createDataFrame(rows).toDF("id", "u")
+    // one pass (must not throw), then a second pass over the output: the
+    // canonical form must be a fixed point, and line-dedup likewise
+    val once = df.select(col("id"), TextOps.canonicalizeUrl(col("u")).as("c"),
+        TextOps.dedupLines(col("u")).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val again = spark.createDataFrame(once.toSeq.map { case (i, (c, d)) => (i, c, d) })
+      .toDF("id", "c", "d")
+      .select(col("id"), TextOps.canonicalizeUrl(col("c")).as("c2"),
+        TextOps.dedupLines(col("d")).as("d2"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    once.foreach { case (i, (c, d)) =>
+      assert(again(i)._1 == c, s"canonicalizeUrl not idempotent on ${rows(i.toInt)._2}: '$c' -> '${again(i)._1}'")
+      assert(again(i)._2 == d, s"dedupLines not idempotent on ${rows(i.toInt)._2}")
     }
   }
 

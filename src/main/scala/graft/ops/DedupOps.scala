@@ -436,9 +436,14 @@ object DedupOps {
           (trunc, () => deletable.foreach(d => fs.delete(new Path(d), true)))
         case None => (df => df.localCheckpoint(eager = true), () => ())
       }
+    // No edge distinct(): min-label propagation is IDEMPOTENT to
+    // duplicate edges (min over a multiset equals min over its set), so
+    // de-duplicating 2|pairs| rows would spend a full shuffle to buy
+    // nothing for the unique pair lists the dedup pipelines emit.
+    // Callers with heavily-duplicated pair lists should distinct first —
+    // duplicates cost per-round join width, never correctness.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Each round's result is checkpointed (eager): without lineage

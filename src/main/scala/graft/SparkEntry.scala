@@ -398,6 +398,19 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "q_dup_spans" -> ((s, dir) => {
+      // exact duplicate-span detection at k=5 over the documents corpus:
+      // maximal contiguous regions whose every 5-gram window appears >= 2
+      // times corpus-wide (the planted near-dup pairs make their shared
+      // text light up end to end; organic word-soup collisions are flagged
+      // identically by both engines — no recall gap, same window algebra).
+      // String-keyed so the oracle is exact; hashed=true is the 100TB form
+      DedupOps.duplicateSpans(docs(s, dir), "doc_id", "text",
+          k = 5, minCount = 2, hashed = false)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")
+    }),
+
     "q_contamination" -> ((s, dir) => {
       // train/benchmark decontamination: docs sharing a word 5-gram with
       // the held-out "benchmark" slice (doc_id % 5 == 0). String-keyed
@@ -1050,6 +1063,27 @@ object SparkEntry {
         |    AND NOT (n_punct * 5 > length(text))
         |    AND NOT ((len(bi) - len(list_distinct(bi))) * 4 > len(bi)) AS keep
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN CAST([] AS varchar[])
+        |    ELSE list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END AS s5
+        |  FROM t),
+        |w AS (SELECT doc_id, cast(i - 1 AS int) AS pos, s5[i] AS s
+        |      FROM (SELECT doc_id, s5, unnest(range(1, len(s5) + 1)) AS i FROM sh)),
+        |d AS (SELECT s FROM w GROUP BY s HAVING count(*) >= 2),
+        |h AS (SELECT w.doc_id, w.pos FROM w JOIN d ON w.s = d.s),
+        |g AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM h)
+        |SELECT doc_id, cast(min(pos) AS int) AS span_start,
+        |  cast(max(pos) + 4 AS int) AS span_end
+        |FROM g GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (SELECT doc_id,

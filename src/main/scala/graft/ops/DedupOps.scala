@@ -621,6 +621,44 @@ object DedupOps {
     trainRows.join(benchJoinSide, "sh")
   }
 
+  /** Exact duplicate-SPAN detection (the "exact substring dedup" family):
+    * contiguous token regions whose every `k`-gram window occurs at least
+    * `minCount` times in the whole corpus — the within-document complement
+    * to document-level near-dup removal (licenses/boilerplate/quotes
+    * repeated across otherwise-unique documents). Output: one row per
+    * maximal duplicated region, `(id, span_start, span_end)` in 0-based
+    * token indices, `span_end` inclusive.
+    *
+    * Scale shape: windows are token `k`-grams with positions (map-side
+    * explode); the duplicated-window set comes from a partial-agg count
+    * (never broadcast — boilerplate can make it corpus-scale) joined back
+    * by a plain shuffle equi-join; contiguous runs merge with the
+    * gaps-and-islands window trick, whose per-doc partitions are bounded
+    * by the doc's own window count. With `hashed = true` (the 100 TB
+    * default) windows travel as 8-byte xxhash64 keys; a collision can
+    * only over-flag a span for review — the safe failure direction.
+    * Within-doc repeats count toward `minCount` (text repeated twice in
+    * one document is duplicated text).
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 50, minCount: Long = 2,
+                     hashed: Boolean = true): DataFrame = {
+    def keyed(c: Column): Column = if (hashed) xxhash64(c) else c
+    val win = df.select(col(idCol).as("id"),
+        posexplode(TextOps.shingles(col(textCol), k)).as(Seq("pos", "s")))
+      .select(col("id"), col("pos"), keyed(col("s")).as("w"))
+    val dup = win.groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select("w")
+    win.join(dup, "w")
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("id").orderBy("pos")))
+      .groupBy("id", "grp")
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + k - 1).cast("int").as("span_end"))
+      .select("id", "span_start", "span_end")
+  }
+
   /** 64-bit SimHash over token hashes: for each bit, sum ±1 weights over
     * tokens and take the sign. One-pass typed UDF for the same codegen-
     * width reason as [[minhashSignature]].

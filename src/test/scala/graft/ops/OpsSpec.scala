@@ -229,6 +229,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dup.size == 1)
   }
 
+  test("duplicateSpans: maximal regions, within-doc repeats, hashed==string") {
+    // docs 1 and 2 share "p q r s t u v" (7 tokens -> windows at pos 2..4
+    // of doc 1 -> span [2, 8]); doc 3 repeats its own phrase; doc 4 clean
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b p q r s t u v c d"),
+      (2L, "x p q r s t u v y z w"),
+      (3L, "m n o e f m n o e f g"),
+      (4L, "one two three four five six seven eight"))).toDF("doc_id", "text")
+    val spans = DedupOps.duplicateSpans(df, "doc_id", "text", k = 3, minCount = 2,
+        hashed = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc1: shared 3-grams "p q r".."t u v" at pos 2..6 -> span [2, 8]
+    assert(spans.contains((1L, 2, 8)), spans.toString)
+    assert(spans.contains((2L, 1, 7)), spans.toString)
+    // doc3: "m n o", "n o e", "o e f" appear twice within the doc:
+    // windows at 0,1,2 and 5,6,7 -> contiguous? positions 0..2 and 5..7
+    // merge separately -> spans [0,4] and [5,9]
+    assert(spans.contains((3L, 0, 4)) && spans.contains((3L, 5, 9)), spans.toString)
+    assert(!spans.exists(_._1 == 4L), spans.toString)
+    // hashed variant flags identical spans on this corpus
+    val hashed = DedupOps.duplicateSpans(df, "doc_id", "text", k = 3, minCount = 2,
+        hashed = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(hashed == spans)
+  }
+
   test("dedupLines: first occurrence kept, order preserved, non-adjacent repeats removed") {
     val df = spark.createDataFrame(Seq(
       (1L, "nav\nbody one\nnav\nbody two\nbody one\nfooter"),

@@ -1078,11 +1078,15 @@ object SparkEntry {
         |d AS (SELECT s FROM w GROUP BY s HAVING count(*) >= 2),
         |h AS (SELECT w.doc_id, w.pos FROM w JOIN d ON w.s = d.s),
         |g AS (SELECT doc_id, pos,
-        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |      FROM h)
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+        |             THEN 1 ELSE 0 END AS ni
+        |      FROM h),
+        |i AS (SELECT doc_id, pos,
+        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM g)
         |SELECT doc_id, cast(min(pos) AS int) AS span_start,
         |  cast(max(pos) + 4 AS int) AS span_end
-        |FROM g GROUP BY doc_id, grp
+        |FROM i GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
 
     "q_contamination" ->

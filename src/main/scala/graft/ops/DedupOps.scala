@@ -611,9 +611,8 @@ object DedupOps {
       }
     val trainRows =
       if (withPos)
-        train.select(col(idCol).as("id"),
-            posexplode(TextOps.shingles(col(textCol), k)).as(Seq("pos", "s")))
-          .select(col("id"), col("pos"), key(col("s")).as("sh"))
+        keyedPositionedShingles(train, idCol, textCol, k, hashed)
+          .withColumnRenamed("w", "sh")
       else
         train.select(col(idCol).as("id"),
             explode(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
@@ -629,34 +628,64 @@ object DedupOps {
     * maximal duplicated region, `(id, span_start, span_end)` in 0-based
     * token indices, `span_end` inclusive.
     *
-    * Scale shape: windows are token `k`-grams with positions (map-side
-    * explode); the duplicated-window set comes from a partial-agg count
-    * (never broadcast — boilerplate can make it corpus-scale) joined back
-    * by a plain shuffle equi-join; contiguous runs merge with the
-    * gaps-and-islands window trick, whose per-doc partitions are bounded
-    * by the doc's own window count. With `hashed = true` (the 100 TB
-    * default) windows travel as 8-byte xxhash64 keys; a collision can
-    * only over-flag a span for review — the safe failure direction.
-    * Within-doc repeats count toward `minCount` (text repeated twice in
-    * one document is duplicated text).
+    * Scale shape: ONE map-side window explode; the per-window occurrence
+    * count is a `count() OVER (PARTITION BY window)` on the single
+    * exchange (rows are (id, pos, 8-byte key) ≈ 24 B — an extremely hot
+    * boilerplate window concentrates on one reducer but spills and
+    * completes; the alternative agg+join shape is AQE-skew-splittable at
+    * the price of running the corpus explode twice — the dominant map
+    * cost — so the single-pass form wins until a corpus is boilerplate-
+    * degenerate). Flagged windows merge into maximal regions per doc
+    * (variable-gap islands: regions whose coverage overlaps or abuts are
+    * ONE region; per-doc window partitions are bounded by the doc's own
+    * window count). With `hashed = true` (the 100 TB default) windows
+    * travel as 8-byte xxhash64 keys; a collision can only over-flag a
+    * span for review — the safe failure direction. Within-doc repeats
+    * count toward `minCount` (text repeated twice in one document is
+    * duplicated text).
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 50, minCount: Long = 2,
                      hashed: Boolean = true): DataFrame = {
-    def keyed(c: Column): Column = if (hashed) xxhash64(c) else c
-    val win = df.select(col(idCol).as("id"),
-        posexplode(TextOps.shingles(col(textCol), k)).as(Seq("pos", "s")))
-      .select(col("id"), col("pos"), keyed(col("s")).as("w"))
-    val dup = win.groupBy("w").agg(count(lit(1)).as("n"))
+    require(minCount >= 2,
+      s"duplicateSpans: minCount must be >= 2 (a window trivially occurs " +
+        s"once — minCount=$minCount would flag every document whole)")
+    // ONE corpus window pass: the per-window occurrence count comes from a
+    // count() window over the same shuffle the flagged rows need anyway
+    // (partitioning by w), so the tokenize+shingle explode — the dominant
+    // map cost at scale — runs once, with one exchange and no join.
+    val win = keyedPositionedShingles(df, idCol, textCol, k, hashed)
+    val flagged = win
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("w")))
       .filter(col("n") >= minCount)
-      .select("w")
-    win.join(dup, "w")
-      .withColumn("grp", col("pos") -
-        row_number().over(Window.partitionBy("id").orderBy("pos")))
+    // merge flagged windows into MAXIMAL regions: windows p1 < p2 overlap
+    // or abut (contiguous duplicated tokens) iff p2 - p1 <= k, so a new
+    // island starts when the position gap exceeds k — a lag + running-sum
+    // pair, NOT the fixed-step row_number trick, which would emit
+    // overlapping rows for duplicated windows 2..k positions apart
+    val w = Window.partitionBy("id").orderBy("pos")
+    flagged
+      .withColumn("newIsland",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("grp", sum(col("newIsland")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("id", "grp")
       .agg(min(col("pos")).cast("int").as("span_start"),
         (max(col("pos")) + k - 1).cast("int").as("span_end"))
       .select("id", "span_start", "span_end")
+  }
+
+  /** One row per (doc, window position): the word `k`-gram starting at
+    * that 0-based token index, as a string key or its 8-byte xxhash64
+    * (shared by [[contaminationSpans]] and [[duplicateSpans]] so the two
+    * operators can never disagree on what a window is).
+    */
+  private def keyedPositionedShingles(df: DataFrame, idCol: String, textCol: String,
+                                      k: Int, hashed: Boolean): DataFrame = {
+    val key = if (hashed) (c: Column) => xxhash64(c) else (c: Column) => c
+    df.select(col(idCol).as("id"),
+        posexplode(TextOps.shingles(col(textCol), k)).as(Seq("pos", "s")))
+      .select(col("id"), col("pos"), key(col("s")).as("w"))
   }
 
   /** 64-bit SimHash over token hashes: for each bit, sum ±1 weights over

@@ -229,30 +229,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dup.size == 1)
   }
 
-  test("duplicateSpans: maximal regions, within-doc repeats, hashed==string") {
-    // docs 1 and 2 share "p q r s t u v" (7 tokens -> windows at pos 2..4
-    // of doc 1 -> span [2, 8]); doc 3 repeats its own phrase; doc 4 clean
+  test("duplicateSpans: maximal merged regions, within-doc repeats, true gaps, hashed==string") {
+    // docs 1 and 2 share "p q r s t u v" (7 tokens -> five 3-gram windows
+    // at pos 2..6 of doc 1 -> span [2, 8]); doc 3 repeats its own phrase
+    // back to back (abutting coverage merges into ONE region); doc 4
+    // clean; docs 5+6 share two snippets separated by a REAL gap (> k
+    // uncovered tokens) -> two disjoint spans
     val df = spark.createDataFrame(Seq(
       (1L, "a b p q r s t u v c d"),
       (2L, "x p q r s t u v y z w"),
       (3L, "m n o e f m n o e f g"),
-      (4L, "one two three four five six seven eight"))).toDF("doc_id", "text")
+      (4L, "one two three four five six seven eight"),
+      (5L, "s1 s2 s3 gapa gapb gapc gapd gape t1 t2 t3"),
+      (6L, "s1 s2 s3 xgapa xgapb xgapc xgapd xgape t1 t2 t3"))).toDF("doc_id", "text")
     val spans = DedupOps.duplicateSpans(df, "doc_id", "text", k = 3, minCount = 2,
         hashed = false)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    // doc1: shared 3-grams "p q r".."t u v" at pos 2..6 -> span [2, 8]
     assert(spans.contains((1L, 2, 8)), spans.toString)
     assert(spans.contains((2L, 1, 7)), spans.toString)
-    // doc3: "m n o", "n o e", "o e f" appear twice within the doc:
-    // windows at 0,1,2 and 5,6,7 -> contiguous? positions 0..2 and 5..7
-    // merge separately -> spans [0,4] and [5,9]
-    assert(spans.contains((3L, 0, 4)) && spans.contains((3L, 5, 9)), spans.toString)
+    // doc3: windows at 0,1,2 and 5,6,7 — coverage [0,4] and [5,9] abuts
+    // (gap 5-2 == k), so ONE maximal region [0,9], not two overlapping-
+    // or-adjacent rows
+    assert(spans.contains((3L, 0, 9)), spans.toString)
+    assert(spans.count(_._1 == 3L) == 1, spans.toString)
     assert(!spans.exists(_._1 == 4L), spans.toString)
+    // docs 5/6: "s1 s2 s3" at pos 0, "t1 t2 t3" at pos 8 — gap 8 > k,
+    // stays TWO disjoint spans; no overlapping rows anywhere
+    assert(spans.contains((5L, 0, 2)) && spans.contains((5L, 8, 10)), spans.toString)
+    val byDoc = spans.groupBy(_._1)
+    byDoc.values.foreach { ss =>
+      val sorted = ss.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 > a._3, s"overlapping spans: $a $b")
+        case _ =>
+      }
+    }
     // hashed variant flags identical spans on this corpus
     val hashed = DedupOps.duplicateSpans(df, "doc_id", "text", k = 3, minCount = 2,
         hashed = true)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(hashed == spans)
+    intercept[IllegalArgumentException] {
+      DedupOps.duplicateSpans(df, "doc_id", "text", k = 3, minCount = 1)
+    }
   }
 
   test("dedupLines: first occurrence kept, order preserved, non-adjacent repeats removed") {

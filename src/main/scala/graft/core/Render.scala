@@ -137,13 +137,22 @@ object Render {
   private val registryCacheMax = 64
   private val registryCache =
     new java.util.concurrent.ConcurrentHashMap[IdentityKey, java.util.HashMap[String, TagRenderer]]()
+  // last-used fast path: renders overwhelmingly reuse one long-lived
+  // registry, and the CHM hash+probe per TRANSFORM call profiled at ~1% of
+  // the extraction bench. A single volatile holding an immutable pair is
+  // race-safe (readers see a consistent (key, map) or miss to the CHM).
+  @volatile private var lastRegistry: (AnyRef, java.util.HashMap[String, TagRenderer]) = null
   private def javaRegistry(renderers: Map[String, TagRenderer]): java.util.HashMap[String, TagRenderer] = {
+    val last = lastRegistry
+    if (last != null && (last._1 eq renderers)) return last._2
     if (registryCache.size > registryCacheMax) registryCache.clear()
-    registryCache.computeIfAbsent(new IdentityKey(renderers), { _ =>
+    val m = registryCache.computeIfAbsent(new IdentityKey(renderers), { _ =>
       val j = new java.util.HashMap[String, TagRenderer](renderers.size * 2)
       renderers.foreach { case (k, v) => j.put(k, v) }
       j
     })
+    lastRegistry = (renderers, m)
+    m
   }
 }
 

@@ -71,14 +71,28 @@ object TranscriptGen {
       case 1 => "assistant"
       case _ => "tool"
     }
+    // conv-scoped strings are identical for >= 8 consecutive rows (800 for
+    // the skewed conv) — a per-thread memo removes the Long.toString +
+    // concat per ROW that profiled at ~3% of the whole extraction bench
+    val m = convMemo.get()
+    if (m.idx != convIdx) {
+      m.idx = convIdx
+      m.id = "conv" + pad(convIdx, 8)
+      m.tool = "tool" + pad(convIdx % 20, 2)
+    }
     Turn(
-      conv_id = "conv" + pad(convIdx, 8),
+      conv_id = m.id,
       turn_idx = turnIdx.toInt,
       role = role,
       text = sb.toString,
-      tool = if (role == "tool") "tool" + pad(convIdx % 20, 2) else "",
+      tool = if (role == "tool") m.tool else "",
       ts = new Timestamp(EpochBase + convIdx * 3600000L + turnIdx * 1000L)
     )
+  }
+
+  private final class ConvMemo { var idx: Long = -1L; var id: String = _; var tool: String = _ }
+  private val convMemo = new ThreadLocal[ConvMemo] {
+    override def initialValue(): ConvMemo = new ConvMemo
   }
 
   /** Zero-padded decimal without java.util.Formatter (which re-parses its

@@ -411,6 +411,17 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    "q_strip_dup_spans" -> ((s, dir) => {
+      // the removal stage over q_dup_spans' detections: duplicated regions
+      // scrubbed from every doc, tokens re-joined (whitespace-normalized
+      // by contract); counts are integer-exact and the kept text is
+      // string-exact, so the whole detect->strip composition oracles
+      DedupOps.stripDuplicateSpans(docs(s, dir), "doc_id", "text",
+          k = 5, minCount = 2, hashed = false)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q_contamination" -> ((s, dir) => {
       // train/benchmark decontamination: docs sharing a word 5-gram with
       // the held-out "benchmark" slice (doc_id % 5 == 0). String-keyed
@@ -1088,6 +1099,45 @@ object SparkEntry {
         |  cast(max(pos) + 4 AS int) AS span_end
         |FROM i GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_strip_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS rawtoks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN CAST([] AS varchar[])
+        |    ELSE list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END AS s5
+        |  FROM t),
+        |w AS (SELECT doc_id, cast(i - 1 AS int) AS pos, s5[i] AS s
+        |      FROM (SELECT doc_id, s5, unnest(range(1, len(s5) + 1)) AS i FROM sh)),
+        |d AS (SELECT s FROM w GROUP BY s HAVING count(*) >= 2),
+        |h AS (SELECT w.doc_id, w.pos FROM w JOIN d ON w.s = d.s),
+        |g AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+        |             THEN 1 ELSE 0 END AS ni
+        |      FROM h),
+        |i AS (SELECT doc_id, pos,
+        |        sum(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM g),
+        |sp AS (SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS spans,
+        |         sum(span_end - span_start + 1) AS nrm
+        |       FROM (SELECT doc_id, cast(min(pos) AS int) AS span_start,
+        |               cast(max(pos) + 4 AS int) AS span_end
+        |             FROM i GROUP BY doc_id, grp)
+        |       GROUP BY doc_id),
+        |k AS (SELECT t.doc_id,
+        |        CASE WHEN sp.doc_id IS NULL THEN rawtoks
+        |             ELSE list_filter(rawtoks, (x, ix) ->
+        |               len(list_filter(sp.spans, s2 -> ix - 1 >= s2.s AND ix - 1 <= s2.e)) = 0)
+        |        END AS kept,
+        |        coalesce(sp.nrm, 0) AS nrm
+        |      FROM t LEFT JOIN sp ON t.doc_id = sp.doc_id)
+        |SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS stripped_text,
+        |  cast(len(kept) + nrm AS int) AS n_tok, cast(nrm AS int) AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (SELECT doc_id,

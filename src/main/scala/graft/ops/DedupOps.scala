@@ -675,6 +675,48 @@ object DedupOps {
       .select("id", "span_start", "span_end")
   }
 
+  /** Scrub corpus-duplicated spans out of the text — the removal stage
+    * run after [[duplicateSpans]] detection: every token covered by a
+    * duplicated region is dropped from EVERY document (boilerplate,
+    * licenses, and quoted blocks should not be trained on anywhere), and
+    * the remaining tokens re-join with single spaces (the output is
+    * whitespace-normalized by construction). Returns one row per input
+    * doc: `(id, stripped_text, n_tok, n_removed)`.
+    *
+    * Scale shape: [[duplicateSpans]]' plan plus a per-doc span-list
+    * aggregate (rows are two ints per span) joined back to the corpus on
+    * id; the token filter is a native index lambda against the doc's own
+    * (small) span array — map-side, inside codegen.
+    */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 50, minCount: Long = 2,
+                          hashed: Boolean = true): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, minCount, hashed)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<span_start:int,span_end:int>>")))
+      // tokenizer evaluated exactly ONCE per row: kept tokens come from a
+      // single filter pass, and the removed count derives from the spans
+      // alone (maximal regions are DISJOINT by construction, so coverage
+      // is just the sum of span widths) — no second tokens() use for
+      // CollapseProject to duplicate
+      .select(col("id"),
+        filter(TextOps.tokens(col("__text")), (t, i) =>
+          !exists(col("__spans"), sp =>
+            i >= sp.getField("span_start") && i <= sp.getField("span_end")))
+          .as("__kept"),
+        aggregate(col("__spans"), lit(0),
+          (acc, sp) => acc + (sp.getField("span_end") - sp.getField("span_start") + 1))
+          .as("__nrm"))
+      .select(col("id"),
+        array_join(col("__kept"), " ").as("stripped_text"),
+        (size(col("__kept")) + col("__nrm")).cast("int").as("n_tok"),
+        col("__nrm").cast("int").as("n_removed"))
+  }
+
   /** One row per (doc, window position): the word `k`-gram starting at
     * that 0-based token index, as a string key or its 8-byte xxhash64
     * (shared by [[contaminationSpans]] and [[duplicateSpans]] so the two

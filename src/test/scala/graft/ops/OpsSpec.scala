@@ -274,6 +274,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stripDuplicateSpans: flagged regions scrubbed everywhere, clean docs untouched, counts exact") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b p q r s t u v c d"),
+      (2L, "x p q r s t u v y z w"),
+      (3L, "m n o e f m n o e f g"),
+      (4L, "one two three four five six seven eight"))).toDF("doc_id", "text")
+    val r = DedupOps.stripDuplicateSpans(df, "doc_id", "text", k = 3, minCount = 2,
+        hashed = false)
+      .collect().map(row => row.getLong(0) ->
+        ((row.getString(1), row.getInt(2), row.getInt(3)))).toMap
+    assert(r(1L) == (("a b c d", 11, 7)))       // span [2,8] removed
+    assert(r(2L) == (("x y z w", 11, 7)))       // span [1,7] removed
+    assert(r(3L) == (("g", 11, 10)))            // merged span [0,9] removed
+    assert(r(4L) == (("one two three four five six seven eight", 8, 0)))
+  }
+
   test("dedupLines: first occurrence kept, order preserved, non-adjacent repeats removed") {
     val df = spark.createDataFrame(Seq(
       (1L, "nav\nbody one\nnav\nbody two\nbody one\nfooter"),

@@ -30,7 +30,8 @@ object Bench {
     "q_contamination" -> 4.1, "q_contamination_spans" -> 2.0,
     "q_cube_orders" -> 1.1, "q_dates" -> 0.4, "q_dedup_clusters" -> 11.0,
     "q_dedup_embedding" -> 4.2, "q_dedup_exact" -> 0.7, "q_dedup_keepers"
-    -> 10.3, "q_dedup_minhash" -> 6.4, "q_dedup_simhash" -> 3.0,
+    -> 10.3, "q_dedup_keepers_by" -> 8.3, "q_dedup_minhash" -> 6.4,
+    "q_dedup_simhash" -> 3.0,
     "q_docs_bpe_tokens" -> 0.6, "q_docs_chunks" -> 0.6,
     "q_docs_dedup_lines" -> 0.6, "q_docs_filter_flags" -> 1.9,
     "q_docs_fingerprint" -> 0.7, "q_docs_langid" -> 1.1, "q_docs_oov" ->

@@ -385,6 +385,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_keepers_by" -> ((s, dir) => {
+      // keeper-POLICY variant: per cluster keep the LONGEST member (ties:
+      // min id) instead of the min id — what real pipelines keep. Same
+      // recall-calibrated LSH parameters as q_dedup_keepers, so the
+      // cluster structure (and hence the policy's survivor set) is
+      // SQL-derivable
+      DedupOps.dedupCorpus(docs(s, dir), "doc_id", "text",
+          threshold = 0.5, numHashes = 512, bands = 64,
+          keepBy = Some(length(col("text"))))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q_contamination_spans" -> ((s, dir) => {
       // decontamination audit evidence: every (train doc, token position)
       // whose 5-gram appears in the benchmark slice — the per-hit review
@@ -1191,6 +1204,35 @@ object SparkEntry {
         |cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
         |SELECT d.doc_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
         |WHERE cl.id IS NULL OR cl.cluster = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_keepers_by" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(regexp_split_to_array(trim(lower(text)),'\s+')) - 1),
+        |    i -> regexp_split_to_array(trim(lower(text)),'\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(lower(text)),'\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(lower(text)),'\s+')[i+2])) AS sh
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM t),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter,
+        |             any_value(a.n) AS na, any_value(b.n) AS nb
+        |      FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e AS (SELECT ia AS a, ib AS b FROM p WHERE inter * 1.0 / (na + nb - inter) >= 0.5),
+        |ed AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.id),
+        |cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+        |mem AS (SELECT cl.id, cl.cluster, length(d.text) AS lv
+        |        FROM cl JOIN documents d ON d.doc_id = cl.id),
+        |best AS (SELECT cluster, max(lv) AS mx FROM mem GROUP BY cluster),
+        |keep AS (SELECT mem.cluster, min(mem.id) AS keeper
+        |         FROM mem JOIN best ON mem.cluster = best.cluster AND mem.lv = best.mx
+        |         GROUP BY mem.cluster)
+        |SELECT d.doc_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+        |LEFT JOIN keep ON cl.cluster = keep.cluster
+        |WHERE cl.id IS NULL OR keep.keeper = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_docs_chunks" ->

@@ -106,7 +106,8 @@ object BpeOps {
     * (set 0 to force the distributed loop, e.g. in tests).
     */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-               minFreq: Long = 2, collectThreshold: Long = 2000000L): Seq[BpeMerge] = {
+               minFreq: Long = 2, collectThreshold: Long = 2000000L,
+               batchMerges: Int = 16): Seq[BpeMerge] = {
     val spark = df.sparkSession
     import spark.implicits._
     // corpus → word-frequency dictionary (the only corpus-sized pass)
@@ -119,23 +120,89 @@ object BpeOps {
         val dict = wordFreq.as[(String, Long)].collect()
           .map { case (w, f) => (w.toCharArray.map(_.toString), f) }
         trainLocal(dict, numMerges, minFreq)
-      } else trainDistributed(spark, wordFreq, numMerges, minFreq)
+      } else trainDistributed(spark, wordFreq, numMerges, minFreq, batchMerges)
     } finally wordFreq.unpersist(blocking = false)
   }
 
+  /** Release a localCheckpoint'd frame's executor blocks NOW: the blocks
+    * live on the checkpointed internal RDD (Dataset.unpersist does not
+    * touch them; without this they are only freed when the RDD is GC'd —
+    * a long merge loop would retain every superseded round's dictionary
+    * copy in executor storage).
+    */
+  private def freeLocalCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** Select a provably order-preserving merge batch from the sorted
+    * (cnt desc, l asc, r asc) pair prefix. Greedy scan: accept pairs whose
+    * symbols are disjoint from every already-accepted pair's, stop at the
+    * first pair that touches one. Soundness of "batch == sequential":
+    *  - disjointness keeps every accepted pair's count unchanged while the
+    *    earlier batch members merge, and their relative sorted order is
+    *    exactly the sequential merge order (ties break identically);
+    *  - a merge of accepted (l, r) can only CREATE pairs (x, lr) / (lr, y)
+    *    whose counts are bounded by existing pairs touching l or r — all of
+    *    which sort at/after the stop point — so trimming the batch to
+    *    counts STRICTLY above `stopCount` (the first unaccepted row, or
+    *    the prefix boundary when the scan exhausted a clipped prefix)
+    *    guarantees no created pair could outrank a later batch member;
+    *  - the one self-bounding case is l == r (merging (a,a) over "a a a"
+    *    creates (aa, a) bounded by count(a,a) ITSELF, which no stop-count
+    *    can exclude) — an accepted l == r pair therefore ends its batch.
+    * The first pair is always kept: it is the true argmax by definition.
+    */
+  private[ops] def selectBatch(rows: Seq[(String, String, Long)],
+                               prefixClipped: Boolean): Seq[(String, String, Long)] = {
+    if (rows.isEmpty) return Nil
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val used = scala.collection.mutable.HashSet.empty[String]
+    var stopCount = Long.MinValue
+    var idx = 0
+    var done = false
+    while (idx < rows.length && !done) {
+      val p @ (l, r, _) = rows(idx)
+      if (accepted.nonEmpty && (used(l) || used(r))) {
+        stopCount = p._3 // first touching pair: the created-pair bound
+        done = true
+      } else {
+        accepted += p
+        used += l; used += r
+        idx += 1
+        if (l == r) { // self-bounding: end the batch after this pair
+          if (idx < rows.length) stopCount = rows(idx)._3
+          else if (prefixClipped) stopCount = p._3
+          done = true
+        }
+      }
+    }
+    if (!done && prefixClipped)
+      stopCount = rows.last._3 // unseen rows beyond the prefix may tie it
+    // keep the head unconditionally; later members only above the bound
+    accepted.head +: accepted.tail.filter(_._3 > stopCount).toSeq
+  }
+
   private def trainDistributed(spark: SparkSession, wordFreq: DataFrame,
-                               numMerges: Int, minFreq: Long): Seq[BpeMerge] = {
+                               numMerges: Int, minFreq: Long,
+                               batchMerges: Int = 16): Seq[BpeMerge] = {
     import spark.implicits._
+    require(batchMerges >= 1, s"batchMerges must be >= 1, got $batchMerges")
     var vocab: Dataset[(Seq[String], Long)] = wordFreq.as[(String, Long)]
       .map { case (w, f) => (w.toCharArray.map(_.toString).toSeq, f) }
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
-    var r = 0
     var continue = true
-    while (r < numMerges && continue) {
+    while (merges.length < numMerges && continue) {
       // adjacent pairs, natively (stays in codegen): one row per (l, r)
-      // occurrence weighted by word freq, partial-agg'd map-side; only ONE
-      // row (the argmax) ever reaches the driver
+      // occurrence weighted by word freq, partial-agg'd map-side; only the
+      // top sorted PREFIX (2*batch+16 rows — a TakeOrdered) ever reaches
+      // the driver, from which a provably order-preserving batch of up to
+      // `batchMerges` disjoint merges is selected and applied in ONE
+      // rewrite job — a 32k-merge vocab costs ~32k/batch jobs instead of
+      // one 10 ms-overhead job per merge
+      val prefetch = 2 * batchMerges + 16
       val top = vocab.toDF("syms", "freq")
         // single-symbol words carry no pairs (and sequence(0, -1) is a
         // DESCENDING range in Spark, not empty — filter, don't transform)
@@ -146,19 +213,33 @@ object BpeOps {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty || top.head.getAs[Long]("cnt") < minFreq) continue = false
+        .limit(prefetch).collect()
+        .map(row => (row.getAs[String]("l"), row.getAs[String]("r"), row.getAs[Long]("cnt")))
+        .toSeq
+      if (top.isEmpty || top.head._3 < minFreq) continue = false
       else {
-        val (l, rr) = (top.head.getAs[String]("l"), top.head.getAs[String]("r"))
-        merges += BpeMerge(r + 1, l, rr)
-        // map-side rewrite + lineage truncation per round (the iterative-
-        // DataFrame trap: without truncation analysis time grows per round)
-        vocab = vocab.map { case (syms, f) =>
-          (mergeWord(syms.toArray, l, rr).toSeq, f)
+        val batch = selectBatch(top, prefixClipped = top.length == prefetch)
+          .filter(_._3 >= minFreq) // sorted desc: a prefix filter
+          .take(numMerges - merges.length)
+        batch.foreach { case (l, r, _) => merges += BpeMerge(merges.length + 1, l, r) }
+        val batchPairs = batch.map { case (l, r, _) => (l, r) }
+        // ONE map-side rewrite job for the whole batch (disjoint pairs:
+        // per-word application order cannot matter, but apply in rank order
+        // anyway) + lineage truncation per round (the iterative-DataFrame
+        // trap: without truncation analysis time grows per round); the
+        // superseded round's checkpoint blocks are freed once the new
+        // round is materialized (eager), or executor storage grows
+        // linearly with the merge count
+        val next = vocab.map { case (syms, f) =>
+          var s = syms.toArray
+          batchPairs.foreach { case (l, r) => s = mergeWord(s, l, r) }
+          (s.toSeq, f)
         }.localCheckpoint(true)
-        r += 1
+        freeLocalCheckpoint(vocab)
+        vocab = next
       }
     }
+    freeLocalCheckpoint(vocab) // final round's blocks: nothing reads them again
     merges.toSeq
   }
 

@@ -26,6 +26,12 @@ import org.apache.spark.storage.StorageLevel
   *    reported through an accumulator — capped coverage is never silent.
   */
 object DedupOps {
+  /** Stage commit marker for [[dedupCorpus]]'s `artifactDir` resume: a
+    * stage directory without it is a partial write (same contract as
+    * ExtractJob's bucket markers — existence alone is never completion).
+    */
+  private val CommitMarker = "_COMMITTED"
+
   /** Rank duplicates within exact-fingerprint groups; `dup_rank = 1` is the
     * canonical survivor, everything else is droppable. This (id → rep)
     * representation is the form to persist at 10^12-doc scale — it is linear
@@ -351,6 +357,10 @@ object DedupOps {
     *
     * The returned frame is backed by the final round's (materialized)
     * checkpoint — small (two longs per vertex) and freed with the session.
+    * NOTE: with `checkpointDir` set, prefer [[connectedComponentsStatus]]:
+    * this convenience wrapper cannot return the final round's
+    * cc-<uuid> path, which the caller must delete once done with the
+    * labels (Spark never deletes checkpoints itself).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           strict: Boolean = false,
@@ -407,80 +417,99 @@ object DedupOps {
     // afterwards — set your own dir before unrelated checkpoint work.)
     val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     var ccPath: Option[String] = None
-    val (truncate, cleanupSuperseded): (DataFrame => DataFrame, () => Unit) =
-      checkpointDir match {
-        case Some(dir) =>
-          import org.apache.hadoop.fs.Path
-          val unique = s"$dir/cc-${java.util.UUID.randomUUID()}"
-          ccPath = Some(unique)
-          spark.sparkContext.setCheckpointDir(unique)
-          val fs = new Path(unique).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          def rddDirs(): Set[String] = {
-            val base = new Path(unique)
-            if (!fs.exists(base)) Set.empty
-            else fs.listStatus(base).toSeq.flatMap { u =>
-              if (!u.isDirectory) Nil
-              else fs.listStatus(u.getPath).toSeq.collect {
-                case s if s.isDirectory && s.getPath.getName.startsWith("rdd-") =>
-                  s.getPath.toString
-              }
-            }.toSet
-          }
-          var deletable = Set.empty[String]
-          val trunc: DataFrame => DataFrame = df => {
-            val before = rddDirs()
-            val out = df.checkpoint(eager = true)
-            deletable = before
-            out
-          }
-          (trunc, () => deletable.foreach(d => fs.delete(new Path(d), true)))
-        case None => (df => df.localCheckpoint(eager = true), () => ())
+    // EVERYTHING after the checkpoint-dir capture runs under try/finally:
+    // the redirect is a SparkContext-GLOBAL mutation, and a failure can
+    // surface before the loop's first action (driver-side plan work in
+    // persist()/analysis throws for bad input), so the restore must guard
+    // the redirect itself, not just the iteration. On failure the
+    // cc-<uuid> dir is best-effort deleted — nothing can consume a
+    // partial run's round files.
+    var ok = false
+    try {
+      val (truncate, cleanupSuperseded): (DataFrame => DataFrame, () => Unit) =
+        checkpointDir match {
+          case Some(dir) =>
+            import org.apache.hadoop.fs.Path
+            val unique = s"$dir/cc-${java.util.UUID.randomUUID()}"
+            ccPath = Some(unique)
+            spark.sparkContext.setCheckpointDir(unique)
+            val fs = new Path(unique).getFileSystem(spark.sparkContext.hadoopConfiguration)
+            def rddDirs(): Set[String] = {
+              val base = new Path(unique)
+              if (!fs.exists(base)) Set.empty
+              else fs.listStatus(base).toSeq.flatMap { u =>
+                if (!u.isDirectory) Nil
+                else fs.listStatus(u.getPath).toSeq.collect {
+                  case s if s.isDirectory && s.getPath.getName.startsWith("rdd-") =>
+                    s.getPath.toString
+                }
+              }.toSet
+            }
+            var deletable = Set.empty[String]
+            val trunc: DataFrame => DataFrame = df => {
+              val before = rddDirs()
+              val out = df.checkpoint(eager = true)
+              deletable = before
+              out
+            }
+            (trunc, () => deletable.foreach(d => fs.delete(new Path(d), true)))
+          case None => (df => df.localCheckpoint(eager = true), () => ())
+        }
+      // No edge distinct(): min-label propagation is IDEMPOTENT to
+      // duplicate edges (min over a multiset equals min over its set), so
+      // de-duplicating 2|pairs| rows would spend a full shuffle to buy
+      // nothing for the unique pair lists the dedup pipelines emit.
+      // Callers with heavily-duplicated pair lists should distinct first —
+      // duplicates cost per-round join width, never correctness.
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // Each round's result is checkpointed (eager): without lineage
+      // TRUNCATION the logical plan triples per iteration and Catalyst
+      // analysis/optimization time grows exponentially — the classic
+      // iterative-DataFrame trap (measured 41 s for a 500-vertex graph with
+      // persist() alone; ~2 s with checkpointing).
+      var labels = truncate(edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+          .groupBy("src").agg(min(col("nlabel")).as("nmin"))
+        val updated = truncate(labels
+          .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+        changed = updated
+          .join(labels.select(col("id"), col("label").as("old")), "id")
+          .filter(col("label") =!= col("old")).count()
+        labels = updated
+        cleanupSuperseded() // previous round's reliable checkpoint, if any
+        iter += 1
       }
-    // No edge distinct(): min-label propagation is IDEMPOTENT to
-    // duplicate edges (min over a multiset equals min over its set), so
-    // de-duplicating 2|pairs| rows would spend a full shuffle to buy
-    // nothing for the unique pair lists the dedup pipelines emit.
-    // Callers with heavily-duplicated pair lists should distinct first —
-    // duplicates cost per-round join width, never correctness.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // Each round's result is checkpointed (eager): without lineage
-    // TRUNCATION the logical plan triples per iteration and Catalyst
-    // analysis/optimization time grows exponentially — the classic
-    // iterative-DataFrame trap (measured 41 s for a 500-vertex graph with
-    // persist() alone; ~2 s with checkpointing).
-    var labels = truncate(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
-
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
-        .groupBy("src").agg(min(col("nlabel")).as("nmin"))
-      val updated = truncate(labels
-        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
-      changed = updated
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
-      cleanupSuperseded() // previous round's reliable checkpoint, if any
-      iter += 1
+      if (changed > 0)
+        org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
+          s"connectedComponents: maxIter=$maxIter reached with $changed labels still " +
+            "changing — result is a valid refinement, not the full component labeling " +
+            "(graph diameter exceeds the round cap)")
+      edges.unpersist(blocking = false)
+      ok = true
+      CcResult(labels.withColumnRenamed("label", "cluster"), changed == 0, iter, ccPath)
+    } finally {
+      // restore the session's checkpoint dir (a global setting this loop
+      // redirected); later .checkpoint() callers must not land in cc-<uuid>
+      prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+      if (!ok) ccPath.foreach { p =>
+        try {
+          import org.apache.hadoop.fs.Path
+          val hp = new Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+      }
     }
-    if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
-        s"connectedComponents: maxIter=$maxIter reached with $changed labels still " +
-          "changing — result is a valid refinement, not the full component labeling " +
-          "(graph diameter exceeds the round cap)")
-    edges.unpersist(blocking = false)
-    // restore the session's checkpoint dir (a global setting this loop
-    // redirected); later .checkpoint() callers must not land in cc-<uuid>
-    prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    CcResult(labels.withColumnRenamed("label", "cluster"), changed == 0, iter, ccPath)
   }
 
   /** End-to-end dedup "keeper" composition — the form a pretraining
@@ -505,18 +534,116 @@ object DedupOps {
     * join, candidate-text re-read, final anti-join): when its lineage is
     * more than a plain scan — e.g. a quality-filtered view — persist or
     * checkpoint it first, or every consumption re-runs that lineage.
+    *
+    * `keepBy` selects the survivor policy: `None` (default) keeps each
+    * cluster's minimum id; `Some(column)` keeps the member MAXIMIZING that
+    * expression over `df`'s columns (longest text, highest quality score —
+    * what real pipelines keep), ties broken by minimum id so the choice is
+    * deterministic. The policy computation is two hash-aggregates over
+    * (cluster, id, key) rows — no window, so a degenerate 10^9-member
+    * cluster partial-aggregates map-side instead of landing on one reducer.
+    *
+    * With `checkpointDir` set, the final round's reliable-checkpoint files
+    * (which back the labels frame) are consumed into the loser id set and
+    * then DELETED here — callers get a clean survivor frame and no leaked
+    * per-invocation cc-<uuid> directory.
+    *
+    * With `artifactDir` set the run is RESTARTABLE: the pair list and the
+    * cluster labels are persisted as `_COMMITTED`-marked parquet stages
+    * under it, and a re-run resumes from the last committed stage (a died
+    * clustering pass resumes from pairs; a died anti-join from labels)
+    * instead of re-running the corpus signature pass. The caller owns the
+    * directory's lifecycle — delete it to force a fresh run.
     */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.8, k: Int = 3,
                   numHashes: Int = 64, bands: Int = 16,
                   maxBucket: Int = Int.MaxValue, maxIter: Int = 20,
-                  checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = minhashNearDups(df, idCol, textCol, threshold, k, numHashes, bands, maxBucket)
-    val cc = connectedComponents(pairs.select("id_a", "id_b"), maxIter,
-      strict = true, checkpointDir = checkpointDir)
-    pairs.unpersist(blocking = false)
-    val losers = cc.filter(col("cluster") =!= col("id"))
-      .select(col("id").as("__loser_id"))
+                  checkpointDir: Option[String] = None,
+                  keepBy: Option[Column] = None,
+                  artifactDir: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    def freshLabels(): CcResult = {
+      val pairs = minhashNearDups(df, idCol, textCol, threshold, k, numHashes, bands, maxBucket)
+      // strict: silently dropping keepers because label propagation had not
+      // converged would corrupt the corpus — fail fast instead
+      val cc = connectedComponentsStatus(pairs.select("id_a", "id_b"), maxIter, checkpointDir)
+      require(cc.converged,
+        s"dedupCorpus: connected components did not converge in maxIter=$maxIter " +
+          "rounds — raise maxIter (an unconverged labeling could drop keepers)")
+      pairs.unpersist(blocking = false)
+      cc
+    }
+    // `artifactDir` makes the run RESTARTABLE (ExtractJob's bucket-commit
+    // idiom): the pair list and the cluster labels are written as parquet
+    // stages, each marked `_COMMITTED` only after its producing job
+    // finished. A 100 TB dedup that dies during clustering resumes from
+    // the committed pairs instead of re-running the signature pass; one
+    // that dies after labeling resumes from the labels. An unmarked stage
+    // dir is a partial write — overwritten, never trusted.
+    val cc: CcResult = artifactDir match {
+      case None => freshLabels()
+      case Some(dir) =>
+        import org.apache.hadoop.fs.Path
+        val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def committed(stage: String) = fs.exists(new Path(s"$dir/$stage/$CommitMarker"))
+        def mark(stage: String) = fs.create(new Path(s"$dir/$stage/$CommitMarker"), true).close()
+        if (!committed("labels")) {
+          if (!committed("pairs")) {
+            val pairs = minhashNearDups(df, idCol, textCol, threshold, k,
+              numHashes, bands, maxBucket)
+            pairs.select("id_a", "id_b").write.mode("overwrite").parquet(s"$dir/pairs")
+            mark("pairs")
+            pairs.unpersist(blocking = false)
+          }
+          // underscore-prefixed files (the marker) are invisible to the scan
+          val cc0 = connectedComponentsStatus(
+            spark.read.parquet(s"$dir/pairs"), maxIter, checkpointDir)
+          require(cc0.converged,
+            s"dedupCorpus: connected components did not converge in maxIter=$maxIter " +
+              "rounds — raise maxIter (an unconverged labeling could drop keepers)")
+          cc0.labels.write.mode("overwrite").parquet(s"$dir/labels")
+          mark("labels")
+          // the labels are durable parquet now — the round checkpoint (if
+          // reliable) has nothing left to back
+          cc0.checkpointPath.foreach { p =>
+            try fs.delete(new Path(p), true)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+        CcResult(spark.read.parquet(s"$dir/labels"), converged = true, iterations = 0)
+    }
+    val losersLazy = keepBy match {
+      case None =>
+        // min-id policy: the cluster label IS the min reachable id
+        cc.labels.filter(col("cluster") =!= col("id"))
+          .select(col("id").as("__loser_id"))
+      case Some(keyCol) =>
+        // two-level agg, no window: per-cluster max key, then the min id
+        // among members attaining it — deterministic, skew-safe
+        val members = cc.labels
+          .join(df.select(col(idCol).as("id"), keyCol.as("__kv")), "id")
+        val best = members.groupBy("cluster").agg(max(col("__kv")).as("__mx"))
+        val keepers = members.join(best, "cluster")
+          .filter(col("__kv") === col("__mx"))
+          .groupBy("cluster").agg(min(col("id")).as("__keeper"))
+        cc.labels.join(keepers, "cluster")
+          .filter(col("id") =!= col("__keeper"))
+          .select(col("id").as("__loser_id"))
+    }
+    // with a reliable checkpoint, materialize the (small, two-long) loser
+    // set OFF the checkpoint files before deleting them
+    val losers = cc.checkpointPath match {
+      case Some(p) =>
+        val out = losersLazy.localCheckpoint(eager = true)
+        try {
+          import org.apache.hadoop.fs.Path
+          val hp = new Path(p)
+          hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).delete(hp, true)
+        } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+        out
+      case None => losersLazy
+    }
     df.join(losers, col(idCol) === col("__loser_id"), "left_anti")
   }
 
@@ -643,21 +770,44 @@ object DedupOps {
     * span for review — the safe failure direction. Within-doc repeats
     * count toward `minCount` (text repeated twice in one document is
     * duplicated text).
+    *
+    * `skewSafe` selects the per-window counting plan:
+    *  - `false` (default): `count() OVER (PARTITION BY w)` on the single
+    *    exchange the flagged rows need anyway — ONE corpus explode, one
+    *    exchange, no join. The catch at scale: window functions get no AQE
+    *    skew splitting, and the hot key IS the operator's target workload —
+    *    a boilerplate 50-gram repeated 10^9 times materializes every
+    *    occurrence on one reducer (~24 GB; spills and completes, but
+    *    serializes the stage).
+    *  - `true`: two-level hash-aggregate count — the partial (map-side)
+    *    combine collapses the hot key to one 16-byte row per map partition
+    *    BEFORE the exchange, so no reducer ever sees a key's full
+    *    occurrence list — then the flagged-window set joins back to the
+    *    occurrence rows (an equi-join AQE can both broadcast, when the
+    *    flagged set is small, and skew-split, when it is not). The price is
+    *    the corpus explode running twice (count pass + join pass) — the
+    *    dominant map cost — which is why the single-pass form stays the
+    *    default; flip this on for boilerplate-degenerate corpora.
+    *    Detections are IDENTICAL under both plans.
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 50, minCount: Long = 2,
-                     hashed: Boolean = true): DataFrame = {
+                     hashed: Boolean = true, skewSafe: Boolean = false): DataFrame = {
     require(minCount >= 2,
       s"duplicateSpans: minCount must be >= 2 (a window trivially occurs " +
         s"once — minCount=$minCount would flag every document whole)")
-    // ONE corpus window pass: the per-window occurrence count comes from a
-    // count() window over the same shuffle the flagged rows need anyway
-    // (partitioning by w), so the tokenize+shingle explode — the dominant
-    // map cost at scale — runs once, with one exchange and no join.
     val win = keyedPositionedShingles(df, idCol, textCol, k, hashed)
-    val flagged = win
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("w")))
-      .filter(col("n") >= minCount)
+    val flagged =
+      if (skewSafe) {
+        // partial-agg count (map-side combine kills the hot key), then the
+        // flagged set joins back; no window over w anywhere in this plan
+        val flaggedW = win.groupBy("w").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= minCount)
+          .select("w")
+        win.join(flaggedW, "w")
+      } else win
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("w")))
+        .filter(col("n") >= minCount)
     // merge flagged windows into MAXIMAL regions: windows p1 < p2 overlap
     // or abut (contiguous duplicated tokens) iff p2 - p1 <= k, so a new
     // island starts when the position gap exceeds k — a lag + running-sum
@@ -690,8 +840,8 @@ object DedupOps {
     */
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 50, minCount: Long = 2,
-                          hashed: Boolean = true): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, k, minCount, hashed)
+                          hashed: Boolean = true, skewSafe: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, minCount, hashed, skewSafe)
       .groupBy("id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     df.select(col(idCol).as("id"), col(textCol).as("__text"))

@@ -106,14 +106,17 @@ object MediaOps {
     media.mapPartitions { iter =>
       // per-partition decoder state would be initialized here
       iter.map { m =>
-        val feats = fakeDecode(m.payload, dims)
+        // a null payload (failed download) is in-domain — zero features,
+        // length 0, same as the resize stage's pass-through contract
+        val payload = if (m.payload == null) Array.emptyByteArray else m.payload
+        val feats = fakeDecode(payload, dims)
         val frames = m.kind match {
           case "video" => math.max(1, (m.duration_ms / 1000).toInt)
           case "audio" => math.max(1, (m.duration_ms / 500).toInt)
           case _       => 1
         }
-        MediaFeatures(m.media_id, m.doc_id, m.kind, m.payload.length,
-          contentHash(m.payload), feats, frames)
+        MediaFeatures(m.media_id, m.doc_id, m.kind, payload.length,
+          contentHash(payload), feats, frames)
       }
     }
   }
@@ -184,18 +187,113 @@ object MediaOps {
     }
   }
 
+  /** ======== REAL audio path (JDK javax.sound.sampled) ======== */
+
+  /** Decoded audio: mono PCM samples in [-1, 1] at `sampleRate` Hz. */
+  final case class AudioClip(sampleRate: Float, samples: Array[Float])
+
+  /** True when the JVM ships audio file readers (WAV/AIFF/AU on a standard
+    * JDK — java.desktop's javax.sound.sampled, headless-safe; compressed
+    * formats like mp3 need codecs the JDK does not ship).
+    */
+  lazy val audioCodecAvailable: Boolean =
+    try javax.sound.sampled.AudioSystem.getAudioFileTypes.nonEmpty
+    catch { case _: Throwable => false }
+
+  /** Real audio decode: parse the payload's container (WAV/AIFF/AU),
+    * convert to 16-bit signed PCM if needed, downmix channels to mono in
+    * [-1, 1]. None when the payload is not decodable audio — same
+    * NonFatal-fallback contract as [[decodeImage]] (a crawl corpus WILL
+    * contain truncated/adversarial payloads).
+    */
+  def decodeAudio(payload: Array[Byte]): Option[AudioClip] =
+    if (payload == null || payload.isEmpty || !audioCodecAvailable) None
+    else {
+      import javax.sound.sampled._
+      try {
+        val raw = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        try {
+          val src = raw.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+            src.getSampleRate, false)
+          val in = if (src.matches(target)) raw else AudioSystem.getAudioInputStream(target, raw)
+          val bytes = in.readAllBytes()
+          val ch = math.max(1, target.getChannels)
+          val nFrames = bytes.length / (2 * ch)
+          val out = new Array[Float](nFrames)
+          var i = 0
+          while (i < nFrames) {
+            var sum = 0f
+            var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2 // little-endian 16-bit signed
+              val s = (((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)).toShort
+              sum += s / 32768.0f
+              c += 1
+            }
+            out(i) = sum / ch
+            i += 1
+          }
+          Some(AudioClip(target.getSampleRate, out))
+        } finally raw.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Per-window audio features over decoded PCM: the clip is split into
+    * `dims / 2` equal windows; each contributes (RMS energy, zero-crossing
+    * rate) — the classic cheap audio descriptors. Returns (features,
+    * window count).
+    */
+  private[ops] def audioFeatures(clip: AudioClip, dims: Int): (Array[Float], Int) = {
+    val windows = math.max(1, dims / 2)
+    val out = new Array[Float](dims)
+    val n = clip.samples.length
+    if (n == 0) return (out, 0)
+    var w = 0
+    while (w < windows) {
+      val from = (w.toLong * n / windows).toInt
+      val until = math.max(from + 1, ((w + 1).toLong * n / windows).toInt)
+      var sq = 0.0
+      var crossings = 0
+      var i = from
+      while (i < until && i < n) {
+        val s = clip.samples(i)
+        sq += s * s
+        if (i > from && (s >= 0) != (clip.samples(i - 1) >= 0)) crossings += 1
+        i += 1
+      }
+      val len = math.max(1, math.min(until, n) - from)
+      if (2 * w < dims) out(2 * w) = math.sqrt(sq / len).toFloat
+      if (2 * w + 1 < dims) out(2 * w + 1) = crossings.toFloat / len
+      w += 1
+    }
+    (out, windows)
+  }
+
   /** Codec-backed feature extraction: decode, scale to a √dims-ish grid,
     * emit per-cell RGB means in [0,1] — a real (if simple) visual feature.
-    * Undecodable payloads fall back to [[fakeDecode]].
+    * Audio payloads decode through the JDK's javax.sound.sampled (WAV/
+    * AIFF/AU) into per-window RMS + zero-crossing features. Undecodable
+    * payloads fall back to [[fakeDecode]].
     */
   def extractFeaturesCodec(media: Dataset[MediaFile], dims: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     val grid = math.max(1, math.sqrt(dims / 3.0).toInt)
     media.mapPartitions { iter =>
-      iter.map { m =>
-        val feats =
-          if (m.kind == "image") decodeImage(m.payload) match {
+      iter.map { m0 =>
+        // null payload (failed download) is in-domain, same contract as
+        // [[stubResizeRow]]: zero-ish features from an empty payload,
+        // n_bytes 0 — one bad row must not NPE the stage
+        val m = if (m0.payload == null) m0.copy(payload = Array.emptyByteArray) else m0
+        def stubFrames: Int = m.kind match {
+          case "video" => math.max(1, (m.duration_ms / 1000).toInt)
+          case "audio" => math.max(1, (m.duration_ms / 500).toInt)
+          case _       => 1
+        }
+        val (feats, frames) = m.kind match {
+          case "image" => decodeImage(m.payload) match {
             case Some(img) =>
               val small = scaleImage(img, grid, grid)
               val out = new Array[Float](dims)
@@ -206,13 +304,14 @@ object MediaOps {
                 out(idx) = (((rgb >> (16 - 8 * c)) & 0xff) / 255.0f)
                 idx += 1
               }
-              out
-            case None => fakeDecode(m.payload, dims)
-          } else fakeDecode(m.payload, dims)
-        val frames = m.kind match {
-          case "video" => math.max(1, (m.duration_ms / 1000).toInt)
-          case "audio" => math.max(1, (m.duration_ms / 500).toInt)
-          case _       => 1
+              (out, 1)
+            case None => (fakeDecode(m.payload, dims), stubFrames)
+          }
+          case "audio" => decodeAudio(m.payload) match {
+            case Some(clip) => audioFeatures(clip, dims) // frames = real windows
+            case None       => (fakeDecode(m.payload, dims), stubFrames)
+          }
+          case _ => (fakeDecode(m.payload, dims), stubFrames)
         }
         MediaFeatures(m.media_id, m.doc_id, m.kind, m.payload.length,
           contentHash(m.payload), feats, frames)

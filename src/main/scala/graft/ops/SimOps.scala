@@ -362,7 +362,18 @@ object SimOps {
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val bits = "\"bits\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
       .getOrElse(sys.error(s"malformed LSH index meta at $path: $json")).group(1).toInt
-    LshIndex(bits, spark.read.parquet(s"$path/buckets"))
+    // `sig` is a PARTITION column whose type comes back from directory-name
+    // inference — IntegerType when every written signature happens to fit
+    // in an int, LongType otherwise. lshQuery computes LongType signatures,
+    // and pruning through an implicit cast is fragile across Spark
+    // versions, so pin the partition column to long via a user-specified
+    // schema (honored for partition columns — the scan stays a plain
+    // long-typed attribute, and PartitionFilters still prune; a cast ON
+    // TOP of the inferred column would not be guaranteed to).
+    val inferred = spark.read.parquet(s"$path/buckets")
+    val pinned = org.apache.spark.sql.types.StructType(inferred.schema.map(f =>
+      if (f.name == "sig") f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+    LshIndex(bits, spark.read.schema(pinned).parquet(s"$path/buckets"))
   }
 
   /** Query a built LSH index: signature each query map-side, statically

@@ -128,11 +128,13 @@ object StreamingExtract {
   final case class BucketState(ids: Array[Long], sigs: Array[Array[Long]], maxTsMs: Long)
 
   /** An emitted near-dup candidate: `est_jaccard` is the matching-minhash
-    * fraction (an unbiased Jaccard estimate). The same pair can surface
-    * from several bands — dedupe downstream if exactly-once pairs matter
-    * (e.g. `dropDuplicatesWithinWatermark("id_a", "id_b")`).
+    * fraction (an unbiased Jaccard estimate); `ts` is the ARRIVING doc's
+    * event time (the later of the pair — what downstream watermarking
+    * anchors on). The same pair can surface from several bands — use
+    * [[nearDupPairsStream]] when exactly-once pairs matter.
     */
-  final case class NearDupHit(id_a: Long, id_b: Long, band: Int, est_jaccard: Double)
+  final case class NearDupHit(id_a: Long, id_b: Long, band: Int, est_jaccard: Double,
+                              ts: java.sql.Timestamp)
 
   private[streaming] def estJaccard(a: Array[Long], b: Array[Long]): Double = {
     var same = 0; var i = 0
@@ -164,8 +166,37 @@ object StreamingExtract {
                     threshold: Double = 0.8, k: Int = 3,
                     numHashes: Int = 64, bands: Int = 16,
                     latenessMs: Long = 600000L,
-                    maxBucket: Int = 1024): Dataset[NearDupHit] = {
+                    maxBucket: Int = 1024): Dataset[NearDupHit] =
+    nearDupCore(docs, idCol, textCol, tsCol, threshold, k, numHashes, bands,
+      latenessMs, maxBucket, uniquePairs = false)
+
+  /** First band (0-based) on which two signatures agree slice-for-slice,
+    * -1 when none — the deterministic "owner" band of a candidate pair
+    * (both group members hold full signatures, so every band's group
+    * computes the same answer).
+    */
+  private[streaming] def firstEqualBand(a: Array[Long], b: Array[Long],
+                                        bands: Int, rowsPerBand: Int): Int = {
+    var band = 0
+    while (band < bands) {
+      var i = band * rowsPerBand
+      val end = i + rowsPerBand
+      var eq = i < a.length && end <= a.length && end <= b.length
+      while (eq && i < end) { if (a(i) != b(i)) eq = false; i += 1 }
+      if (eq) return band
+      band += 1
+    }
+    -1
+  }
+
+  private def nearDupCore(docs: DataFrame,
+                          idCol: String, textCol: String, tsCol: String,
+                          threshold: Double, k: Int,
+                          numHashes: Int, bands: Int,
+                          latenessMs: Long, maxBucket: Int,
+                          uniquePairs: Boolean): Dataset[NearDupHit] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = docs
@@ -193,9 +224,22 @@ object StreamingExtract {
               while (i < st.ids.length) {
                 if (st.ids(i) != d.id) {
                   val est = estJaccard(st.sigs(i), d.sig)
-                  if (est >= threshold)
+                  // uniquePairs: emit ONLY from the pair's owner band (the
+                  // first slice-equal band) — every band's group computes
+                  // the same owner from the two full signatures, so exactly
+                  // one group emits and no downstream stateful dedup is
+                  // needed (a second stateful operator after
+                  // flatMapGroupsWithState trips Spark's global-watermark
+                  // correctness checker, and a second state store is pure
+                  // cost). A pair cohabiting buckets ONLY via band-hash
+                  // collisions (no genuinely equal band) has no owner and
+                  // is dropped — the LSH candidate contract is "some band
+                  // agrees", collision-only candidates are accidental.
+                  if (est >= threshold &&
+                      (!uniquePairs ||
+                        firstEqualBand(st.sigs(i), d.sig, bands, rowsPerBand) == band))
                     out += NearDupHit(math.min(st.ids(i), d.id), math.max(st.ids(i), d.id),
-                      band, est)
+                      band, est, d.ts)
                 }
                 i += 1
               }
@@ -214,6 +258,40 @@ object StreamingExtract {
           }
       }
   }
+
+  /** Exactly-once near-dup pairs: [[nearDupStream]]'s multi-band emission
+    * means the same (id_a, id_b) surfaces once per matching band — every
+    * caller that wants pairs, not band hits, must rediscover the dedup.
+    * This variant emits each pair exactly once, from its OWNER band (the
+    * first band where the two signatures agree slice-for-slice): every
+    * band's bucket group holds both full signatures and computes the same
+    * owner, so exactly one group emits — no second stateful operator, no
+    * extra shuffle or state store, and no fight with Spark's
+    * global-watermark correctness checker (which rejects any stateful
+    * operator downstream of flatMapGroupsWithState: the naive
+    * `dropDuplicatesWithinWatermark("id_a","id_b")` composition does not
+    * plan).
+    *
+    * Contract deltas vs the band stream, both inherent to owner-band
+    * dedup: (1) collision-only candidates (bucket cohabitation with NO
+    * genuinely equal band) are dropped — the LSH contract is "some band
+    * agrees", so these were accidental detections; (2) under hot-bucket
+    * cap pressure, a pair whose owner-band bucket dropped the stored mate
+    * is missed even when a later band still holds it — the cap already
+    * forfeits per-bucket detection guarantees (same trade the batch
+    * guard's skipped-pair accounting documents). Re-delivery of the same
+    * doc id re-compares and can re-emit — exactly-once holds under
+    * at-most-once delivery per id within the horizon.
+    */
+  def nearDupPairsStream(docs: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         tsCol: String = "ts",
+                         threshold: Double = 0.8, k: Int = 3,
+                         numHashes: Int = 64, bands: Int = 16,
+                         latenessMs: Long = 600000L,
+                         maxBucket: Int = 1024): Dataset[NearDupHit] =
+    nearDupCore(docs, idCol, textCol, tsCol, threshold, k, numHashes, bands,
+      latenessMs, maxBucket, uniquePairs = true)
 
   /** Running per-conversation state: turn count, char count, last index —
     * custom state via `mapGroupsWithState` with a processing-time idle

@@ -36,8 +36,8 @@ class BenchGateSpec extends AnyFunSuite {
     // and the committed evidence silently stops covering HEAD. This pins
     // BENCH_local_r3.json to the full query set — adding a query without
     // re-running Bench (and refreshing the artifact) fails here.
-    val f = new java.io.File("BENCH_local_r4.json")
-    assert(f.exists, "BENCH_local_r4.json missing from repo root")
+    val f = new java.io.File("BENCH_local_r5.json")
+    assert(f.exists, "BENCH_local_r5.json missing from repo root")
     val json = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
     val benched = {
       val it = json.get("queries").fieldNames()

@@ -118,6 +118,99 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ok.labels.collect().forall(_.getLong(1) == 1L))
   }
 
+  test("connectedComponents: a failing run restores the checkpoint dir and sweeps its cc files") {
+    val prev = java.nio.file.Files.createTempDirectory("graft_prev_ckpt").toString
+    spark.sparkContext.setCheckpointDir(prev)
+    val prevSet = spark.sparkContext.getCheckpointDir.get
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_fail").toString
+    val boom = udf { (x: Long) =>
+      if (x >= 0) throw new RuntimeException("planted failure"); x
+    }.asNondeterministic() // keep the throw at execution, not constant folding
+    val pairs = spark.createDataFrame(Seq((1L, 2L), (2L, 3L))).toDF("id_a", "id_b")
+      .withColumn("id_a", boom(col("id_a")))
+    intercept[Exception] {
+      DedupOps.connectedComponentsStatus(pairs, checkpointDir = Some(dir))
+    }
+    // the session checkpoint dir must NOT stay pointed at the cc-<uuid>
+    // subdir: it must be back under the caller's tree (setCheckpointDir
+    // appends a fresh UUID level, so assert on the prefix)
+    assert(spark.sparkContext.getCheckpointDir.exists(_.startsWith(prevSet)),
+      s"checkpoint dir left at ${spark.sparkContext.getCheckpointDir}")
+    val left = new java.io.File(dir).listFiles()
+    assert(left == null || left.isEmpty,
+      s"failed cc run left files: ${Option(left).toSeq.flatten.mkString(", ")}")
+  }
+
+  test("dedupCorpus: reliable checkpoint is consumed into the loser set and deleted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dc_ckpt").toString
+    val survivors = DedupOps.dedupCorpus(docsDf, "doc_id", "text", threshold = 0.7,
+        checkpointDir = Some(dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (0L until 120L).toSet)
+    // no leaked cc-<uuid> directory: every invocation cleans up after itself
+    val left = new java.io.File(dir).listFiles()
+    assert(left == null || left.isEmpty,
+      s"dedupCorpus leaked checkpoint files: ${Option(left).toSeq.flatten.mkString(", ")}")
+  }
+
+  test("dedupCorpus artifactDir: stages commit, resume consumes them, partials are repaired") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_dc_art").toString
+    def survivors() = DedupOps.dedupCorpus(docsDf, "doc_id", "text", threshold = 0.7,
+        artifactDir = Some(dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = survivors()
+    assert(full == (0L until 120L).toSet)
+    assert(Files.exists(Paths.get(dir, "pairs", "_COMMITTED")))
+    assert(Files.exists(Paths.get(dir, "labels", "_COMMITTED")))
+
+    // die-after-pairs resume: drop the labels stage, REPLACE the committed
+    // pair artifact with an empty pair list — if the resume really reads
+    // the committed pairs (instead of recomputing signatures), every doc
+    // survives
+    def rmTree(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(c => rmTree(c.getPath))
+      f.delete()
+    }
+    rmTree(s"$dir/labels")
+    val emptyPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType))))
+    emptyPairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    new java.io.File(s"$dir/pairs/_COMMITTED").createNewFile()
+    assert(survivors() == (0L until 120L).toSet ++ (0 until 30).map(i => 1000L + i),
+      "resume must consume the committed (tampered-empty) pair stage")
+
+    // an UNMARKED pairs stage is a partial write: it must be recomputed,
+    // restoring the true survivor set
+    rmTree(s"$dir/labels")
+    new java.io.File(s"$dir/pairs/_COMMITTED").delete()
+    assert(survivors() == full, "unmarked pair stage must be recomputed, not trusted")
+  }
+
+  test("dedupCorpus keepBy: longest member survives per cluster, min id on ties") {
+    // planted 1000+i is i's text plus one word — strictly longer, so the
+    // length policy keeps the COPY and drops the original (the min-id
+    // default keeps the original: the policies must genuinely differ here)
+    val survivors = DedupOps.dedupCorpus(docsDf, "doc_id", "text", threshold = 0.7,
+        keepBy = Some(length(col("text"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = (30L until 120L).toSet ++ (0 until 30).map(i => 1000L + i)
+    assert(survivors == expected,
+      s"missing=${expected -- survivors} extra=${survivors -- expected}")
+    // exact ties on the keep key fall back to the min id — deterministic
+    val tie = spark.createDataFrame(Seq(
+      (9L, "aa bb cc dd ee"), (5L, "aa bb cc dd ee"), (7L, "zz unrelated doc")))
+      .toDF("doc_id", "text")
+    val tied = DedupOps.dedupCorpus(tie, "doc_id", "text", threshold = 0.8,
+        keepBy = Some(length(col("text"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tied == Set(5L, 7L))
+  }
+
   test("dedupCorpus: keepers are cluster min-ids; untouched docs survive") {
     // planted 1000+i duplicate i (i < 30): clusters {i, 1000+i} keep i;
     // docs 30..119 are in no pair and must all survive untouched
@@ -160,6 +253,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashedSpans == Set((1L, 0), (1L, 3)))
   }
 
+  test("contaminationSpans: hashed (the 100 TB default) == string-keyed on the planted corpus") {
+    // the counting operator has this equality pinned; the spans operator's
+    // hashed path must agree with the string-keyed oracle form on exact
+    // (id, pos) hit sets too — planted copies guarantee dense hits
+    val bench = docsDf.filter(col("doc_id") < 30)
+    val train = docsDf.filter(col("doc_id") >= 1000)
+    val exact = DedupOps.contaminationSpans(train, bench, "doc_id", "text",
+        k = 5, hashed = false)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("pos"))).toSet
+    val hashed = DedupOps.contaminationSpans(train, bench, "doc_id", "text",
+        k = 5, hashed = true)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("pos"))).toSet
+    assert(exact == hashed,
+      s"only-exact=${(exact -- hashed).take(5)} only-hashed=${(hashed -- exact).take(5)}")
+    // every planted copy hits at many positions (its source is in bench)
+    (0 until 30).foreach { i =>
+      assert(exact.count(_._1 == 1000L + i) > 20, s"planted ${1000 + i} under-flagged")
+    }
+  }
+
   test("LSH index build/write/read/query: reopened index answers identically with partition-pruned scans") {
     val rnd = new scala.util.Random(29)
     val vecs = (0 until 150).map { i =>
@@ -178,6 +291,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     SimOps.writeLshIndex(index, dir)
     val reopened = SimOps.readLshIndex(spark, dir)
     assert(reopened.bits == 5)
+    // the sig partition column must come back LONG (as written), not the
+    // directory-name-inferred int — pruning must not ride on implicit casts
+    assert(reopened.signed.schema("sig").dataType ==
+      org.apache.spark.sql.types.LongType, reopened.signed.schema.treeString)
 
     val result = SimOps.lshQuery(reopened, queries, k = 2)
     val viaDisk = result.collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
@@ -271,6 +388,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashed == spans)
     intercept[IllegalArgumentException] {
       DedupOps.duplicateSpans(df, "doc_id", "text", k = 3, minCount = 1)
+    }
+  }
+
+  test("duplicateSpans skewSafe: identical detections and strips under both plans") {
+    // the skew-safe (agg+join-back) plan must be a pure plan change: same
+    // spans, same stripped text, for both key representations
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b p q r s t u v c d"),
+      (2L, "x p q r s t u v y z w"),
+      (3L, "m n o e f m n o e f g"),
+      (4L, "one two three four five six seven eight"),
+      (5L, "s1 s2 s3 gapa gapb gapc gapd gape t1 t2 t3"),
+      (6L, "s1 s2 s3 xgapa xgapb xgapc xgapd xgape t1 t2 t3"))).toDF("doc_id", "text")
+    for (h <- Seq(false, true)) {
+      val spansDefault = DedupOps.duplicateSpans(df, "doc_id", "text", k = 3,
+          minCount = 2, hashed = h, skewSafe = false)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      val spansSafe = DedupOps.duplicateSpans(df, "doc_id", "text", k = 3,
+          minCount = 2, hashed = h, skewSafe = true)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(spansSafe == spansDefault, s"hashed=$h")
+      val stripDefault = DedupOps.stripDuplicateSpans(df, "doc_id", "text", k = 3,
+          minCount = 2, hashed = h, skewSafe = false)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+      val stripSafe = DedupOps.stripDuplicateSpans(df, "doc_id", "text", k = 3,
+          minCount = 2, hashed = h, skewSafe = true)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+      assert(stripSafe == stripDefault, s"hashed=$h")
     }
   }
 

@@ -202,6 +202,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("skew-safe duplicateSpans plans no window over the shingle key") {
+    import graft.ops.DedupOps
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def windowsOverW(skewSafe: Boolean): Seq[LWindow] =
+      DedupOps.duplicateSpans(docs, "doc_id", "text", k = 5, skewSafe = skewSafe)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.exists(_.references.exists(_.name == "w")) => w
+        }
+    // the default single-pass plan DOES carry the hot-key window (so this
+    // assertion is not vacuous) ...
+    assert(windowsOverW(skewSafe = false).nonEmpty,
+      "expected the default plan's count() OVER (PARTITION BY w)")
+    // ... and the skew-safe plan must not: its per-window count is a
+    // two-level hash aggregate (map-side combine collapses the hot key)
+    // plus an AQE-splittable join-back — no reducer ever materializes a
+    // window key's full occurrence list
+    assert(windowsOverW(skewSafe = true).isEmpty,
+      "skew-safe duplicateSpans must not plan a window over w")
+    // the join-back + partial-agg shape is actually planned
+    val s = DedupOps.duplicateSpans(docs, "doc_id", "text", k = 5, skewSafe = true)
+      .queryExecution.executedPlan.toString()
+    assert(s.contains("partial_count") || s.contains("HashAggregate"),
+      s"expected a hash-aggregate count stage:\n$s")
+  }
+
   test("whole-stage codegen covers the text-analysis operators") {
     val df = SparkEntry.queries("q_docs_quality")(spark, sfDir)
     df.collect() // finalize AQE so codegen stages appear

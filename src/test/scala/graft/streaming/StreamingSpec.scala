@@ -275,6 +275,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally if (q.isActive) q.stop()
   }
 
+  test("nearDupPairsStream: exactly one row per pair across bands and micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "identical content that matches in every single band of the signature scheme"
+    def t(off: Long) = new Timestamp(1700000000000L + off)
+
+    // raw band stream first: identical docs match in ALL 16 bands, so the
+    // multi-band duplicate emission is real (the convenience must have
+    // something to dedup — non-vacuous)
+    val rawInput = MemoryStream[(Long, String, Timestamp)]
+    val rawQ = StreamingExtract.nearDupStream(
+        rawInput.toDF().toDF("doc_id", "text", "ts"), threshold = 0.8)
+      .writeStream.format("memory").queryName("neardup_raw_bands")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rawInput.addData((1L, text, t(0)))
+      rawQ.processAllAvailable()
+      rawInput.addData((2L, text, t(1000)))
+      rawQ.processAllAvailable()
+      rawQ.stop()
+      val raw = spark.table("neardup_raw_bands").collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      assert(raw.count(_ == ((1L, 2L))) == 16,
+        s"expected one hit per band (16): ${raw.length}")
+    } finally if (rawQ.isActive) rawQ.stop()
+
+    // pair stream: the same scenario plus a third copy in a later batch —
+    // each unordered pair must surface EXACTLY once
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingExtract.nearDupPairsStream(
+        input.toDF().toDF("doc_id", "text", "ts"), threshold = 0.8)
+      .writeStream.format("memory").queryName("neardup_pairs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, text, t(0)))
+      q.processAllAvailable()
+      input.addData((2L, text, t(1000)))
+      q.processAllAvailable()
+      input.addData((3L, text, t(2000)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("neardup_pairs").collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      assert(rows.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)), rows.mkString(","))
+      assert(rows.length == 3, s"pairs must be exactly-once: ${rows.mkString(",")}")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("streaming decontamination drops bench-overlapping turns, keeps clean ones") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

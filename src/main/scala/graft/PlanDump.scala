@@ -52,6 +52,17 @@ object PlanDump {
     SimOps.writeLshIndex(SimOps.buildLshIndex(e, bits = 6), tmpLsh)
     dump("lsh_disk_query", SimOps.lshQuery(SimOps.readLshIndex(spark, tmpLsh),
       e.filter(col("vec_id") < 5), k = 3))
+    // round-5: the three most expensive queries' scale-critical final
+    // stages (their upstream stages are pinned by the sections above).
+    // Building these runs the eager dedup/CC work — plans reflect what a
+    // caller's action actually executes afterward.
+    dump("dedup_keepers_antijoin",
+      DedupOps.dedupCorpus(docs, "doc_id", "text", threshold = 0.5))
+    dump("dup_spans_default",
+      DedupOps.duplicateSpans(docs, "doc_id", "text", k = 5))
+    dump("dup_spans_skew_safe",
+      DedupOps.duplicateSpans(docs, "doc_id", "text", k = 5, skewSafe = true))
+    dump("pretrain_e2e_final_stage", SparkEntry.queries("q_pretrain_e2e")(spark, sf))
     spark.stop()
   }
 }

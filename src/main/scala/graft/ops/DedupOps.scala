@@ -631,20 +631,31 @@ object DedupOps {
           .filter(col("id") =!= col("__keeper"))
           .select(col("id").as("__loser_id"))
     }
-    // with a reliable checkpoint, materialize the (small, two-long) loser
-    // set OFF the checkpoint files before deleting them
-    val losers = cc.checkpointPath match {
-      case Some(p) =>
-        val out = losersLazy.localCheckpoint(eager = true)
-        try {
-          import org.apache.hadoop.fs.Path
-          val hp = new Path(p)
-          hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).delete(hp, true)
-        } catch { case scala.util.control.NonFatal(_) => () } // best-effort
-        out
-      case None => losersLazy
+    // The loser set is materialized ONCE (eager localCheckpoint: small
+    // two-long rows, distributed, lineage-truncated, GC-freed). That (a)
+    // detaches it from the reliable-checkpoint files so they can be
+    // deleted, and (b) prices the side for an EXPLICIT guarded broadcast:
+    // under the limit the survivor anti-join needs no corpus exchange at
+    // all — relying on AQE's runtime SMJ->BHJ conversion alone still
+    // writes the corpus-side shuffle files first (both leaf stages
+    // materialize before the join re-plans), which at 100 TB is the whole
+    // cost. Above the limit (a pathological majority-duplicate corpus)
+    // the join runs un-hinted and completes as a shuffle join.
+    val losers = losersLazy.localCheckpoint(eager = true)
+    cc.checkpointPath.foreach { p =>
+      try {
+        import org.apache.hadoop.fs.Path
+        val hp = new Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      } catch { case scala.util.control.NonFatal(_) => () } // best-effort
     }
-    df.join(losers, col(idCol) === col("__loser_id"), "left_anti")
+    val nLosers = losers.count()
+    org.slf4j.LoggerFactory.getLogger("graft.dedup")
+      .info(s"dedupCorpus: dropping $nLosers near-duplicate documents")
+    val joinSide =
+      if (nLosers <= 50000000L) broadcast(losers) // ~0.4 GB of 8-byte ids
+      else losers
+    df.join(joinSide, col(idCol) === col("__loser_id"), "left_anti")
   }
 
   /** Benchmark-contamination detection: training documents that share at

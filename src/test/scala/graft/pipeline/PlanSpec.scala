@@ -34,6 +34,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
       case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)
+      // AQE stage wrappers are leaves whose real subtree hangs off .plan
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectPlan(q.plan)
       case other => Seq(other)
     }
     self ++ p.children.flatMap(collectPlan)
@@ -199,6 +201,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("dedupCorpus survivor filter: loser side broadcast, ZERO corpus exchanges") {
+    import graft.ops.DedupOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = DedupOps.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+    df.collect() // finalize AQE
+    val nodes = collectPlan(df.queryExecution.executedPlan)
+    // the loser set is counted and explicitly broadcast (guarded), so the
+    // survivor anti-join is a broadcast join AND the corpus side streams
+    // straight from the scan — no shuffle exchange anywhere in the plan.
+    // (Relying on AQE's runtime SMJ->BHJ conversion would still write the
+    // corpus-side shuffle files first — at 100 TB that IS the cost.)
+    assert(nodes.exists {
+      case b: BroadcastHashJoinExec => b.joinType.toString == "LeftAnti"
+      case _ => false
+    }, s"expected a broadcast left-anti survivor join:\n${df.queryExecution.executedPlan}")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"survivor filtering must not shuffle the corpus:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("composed pretrain e2e final plan: no text column crosses an exchange") {
+    import org.apache.spark.sql.types.StringType
+    // the three heaviest stages (dedup signatures, CC, contamination) run
+    // eagerly while the query is BUILT; the returned frame is the
+    // contamination broadcast + survivor anti-join + ordering — the
+    // text-free-exchange property must hold there too (the upstream
+    // stages have their own PlanSpec/OpsSpec pins)
+    val df = SparkEntry.queries("q_pretrain_e2e")(spark, sfDir)
+    val exchanges = collectPlan(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s }
+    for (ex <- exchanges; attr <- ex.output) {
+      assert(attr.name != "text",
+        s"text column crosses an exchange: ${ex.output.mkString(", ")}")
+      if (attr.dataType == StringType)
+        assert(attr.name != "stripped_text" && !attr.name.contains("text"),
+          s"unexpected text-like string column '${attr.name}' crosses an exchange")
     }
   }
 

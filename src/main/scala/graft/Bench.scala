@@ -23,39 +23,41 @@ object Bench {
     * bench refresh).
     */
   val recordedQuerySeconds: Map[String, Double] = Map(
-    // measured in BENCH_local_r4.json (solo run at HEAD), +30% margin
-    "q_agg_pricing" -> 3.5, "q_ann_ivf" -> 3.7, "q_ann_ivf_disk" -> 3.0,
-    "q_ann_lsh" -> 1.7, "q_ann_lsh_disk" -> 1.6, "q_ann_top1" -> 1.8,
-    "q_ann_topk" -> 1.8, "q_anti_join" -> 0.6, "q_asof_join" -> 1.8,
-    "q_contamination" -> 4.1, "q_contamination_spans" -> 2.0,
-    "q_cube_orders" -> 1.1, "q_dates" -> 0.4, "q_dedup_clusters" -> 11.0,
-    "q_dedup_embedding" -> 4.2, "q_dedup_exact" -> 0.7, "q_dedup_keepers"
-    -> 10.3, "q_dedup_keepers_by" -> 8.3, "q_dedup_minhash" -> 6.4,
-    "q_dedup_simhash" -> 3.0,
-    "q_docs_bpe_tokens" -> 0.6, "q_docs_chunks" -> 0.6,
-    "q_docs_dedup_lines" -> 0.6, "q_docs_filter_flags" -> 1.9,
-    "q_docs_fingerprint" -> 0.7, "q_docs_langid" -> 1.1, "q_docs_oov" ->
-    0.9, "q_docs_pii" -> 1.4, "q_docs_quality" -> 0.8,
-    "q_docs_quality_score" -> 0.7, "q_docs_repetition" -> 1.4,
-    "q_docs_rollhash" -> 0.3, "q_docs_split" -> 0.4, "q_docs_tokens" ->
-    0.6, "q_docs_top_term" -> 1.2, "q_dup_spans" -> 1.7,
-    "q_escape_constructed" -> 0.4, "q_events_daily" -> 0.5,
-    "q_filter_dates" -> 0.3, "q_having_custs" -> 0.4,
-    "q_html_main_content" -> 0.6, "q_html_strip_constructed" -> 0.4,
-    "q_join_segment_sales" -> 0.7, "q_json_events" -> 1.2,
-    "q_langid_ngram" -> 0.8, "q_media_features" -> 0.4, "q_media_frames"
-    -> 0.4, "q_media_resize" -> 0.3, "q_pack_chunks" -> 0.6,
-    "q_percentiles" -> 0.4, "q_pipeline_assembly" -> 1.1,
-    "q_pipeline_errors" -> 0.3, "q_pipeline_extract" -> 0.4,
-    "q_pipeline_html" -> 0.6, "q_pipeline_offsets" -> 0.4,
-    "q_pretrain_e2e" -> 18.4, "q_render_constructed" -> 0.4,
-    "q_rollup_orders" -> 0.9, "q_scalar_funcs" -> 0.3, "q_semi_join" ->
-    0.5, "q_sessionize" -> 1.2, "q_set_customers" -> 0.6, "q_span_lineage"
-    -> 0.5, "q_span_lineage_render" -> 0.4, "q_strip_constructed" -> 0.4,
-    "q_strip_dup_spans" -> 2.4, "q_strip_native_expr" -> 0.3,
-    "q_token_jaccard" -> 0.8, "q_topk_docs" -> 0.3, "q_url_canon" -> 0.4,
-    "q_vocab_top" -> 0.4, "q_window_running" -> 0.5, "q_window_top_event"
-    -> 0.8, "x_bpe_merges" -> 0.8, "x_extract_transcripts" -> 0.5
+    // measured in BENCH_local_r5.json (solo run at HEAD), +30% margin
+    "q_agg_pricing" -> 4.1, "q_ann_ivf" -> 4.0, "q_ann_ivf_disk" -> 3.2,
+    "q_ann_lsh" -> 1.7, "q_ann_lsh_disk" -> 1.7, "q_ann_top1" -> 2.0,
+    "q_ann_topk" -> 1.6, "q_anti_join" -> 0.6, "q_asof_join" -> 1.7,
+    "q_contamination" -> 3.6, "q_contamination_spans" -> 1.7,
+    "q_cube_orders" -> 1.0, "q_dates" -> 0.3, "q_dedup_clusters" -> 9.3,
+    "q_dedup_embedding" -> 3.6, "q_dedup_exact" -> 0.5,
+    "q_dedup_exact_reps" -> 0.7, "q_dedup_keepers" -> 8.3,
+    "q_dedup_keepers_by" -> 8.7, "q_dedup_minhash" -> 5.3,
+    "q_dedup_simhash" -> 2.8, "q_docs_bpe_tokens" -> 0.5,
+    "q_docs_chunks" -> 0.6, "q_docs_dedup_lines" -> 0.6,
+    "q_docs_filter_flags" -> 1.9, "q_docs_fingerprint" -> 0.7,
+    "q_docs_langid" -> 1.1, "q_docs_oov" -> 0.9, "q_docs_pii" -> 1.3,
+    "q_docs_quality" -> 0.7, "q_docs_quality_score" -> 0.6,
+    "q_docs_repetition" -> 1.3, "q_docs_rollhash" -> 0.3,
+    "q_docs_split" -> 0.3, "q_docs_tokens" -> 0.5, "q_docs_top_term" -> 1.1,
+    "q_dup_spans" -> 2.2, "q_escape_constructed" -> 0.4,
+    "q_events_daily" -> 0.4, "q_filter_dates" -> 0.3,
+    "q_having_custs" -> 0.3, "q_html_main_content" -> 0.5,
+    "q_html_strip_constructed" -> 0.3, "q_join_segment_sales" -> 0.6,
+    "q_json_events" -> 1.0, "q_langid_ngram" -> 0.8,
+    "q_media_features" -> 0.4, "q_media_frames" -> 0.4,
+    "q_media_resize" -> 0.4, "q_pack_chunks" -> 0.6, "q_percentiles" -> 0.5,
+    "q_pipeline_assembly" -> 0.9, "q_pipeline_errors" -> 0.4,
+    "q_pipeline_extract" -> 0.4, "q_pipeline_html" -> 0.4,
+    "q_pipeline_offsets" -> 0.3, "q_pretrain_e2e" -> 16.2,
+    "q_render_constructed" -> 0.3, "q_rollup_orders" -> 0.7,
+    "q_scalar_funcs" -> 0.3, "q_semi_join" -> 0.4, "q_sessionize" -> 1.0,
+    "q_set_customers" -> 0.5, "q_span_lineage" -> 0.4,
+    "q_span_lineage_render" -> 0.3, "q_strip_constructed" -> 0.3,
+    "q_strip_dup_spans" -> 2.2, "q_strip_native_expr" -> 0.3,
+    "q_token_jaccard" -> 0.7, "q_topk_docs" -> 0.3, "q_url_canon" -> 0.4,
+    "q_vocab_top" -> 0.4, "q_window_running" -> 0.5,
+    "q_window_top_event" -> 0.5, "x_bpe_merges" -> 0.6,
+    "x_extract_transcripts" -> 0.3
   )
 
   /** A regression fires above 3× the recorded time AND above a 1.5 s

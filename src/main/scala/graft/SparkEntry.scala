@@ -266,6 +266,16 @@ object SparkEntry {
         .orderBy("fp")
     }),
 
+    "q_dedup_exact_reps" -> ((s, dir) => {
+      // the skew-safe LINEAR (id -> rep) exact-dedup form: hash-agg +
+      // join-back, no per-fingerprint window — the shape to persist at
+      // 10^12 docs (is_keeper carried as an int for the oracle)
+      DedupOps.exactDupReps(docs(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("rep"), col("group_size"),
+          col("is_keeper").cast("int").as("is_keeper"))
+        .orderBy("doc_id")
+    }),
+
     "q_token_jaccard" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         array_distinct(TextOps.tokens(lower(col("text")))).as("toks"))
@@ -1037,6 +1047,16 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  count(*) AS n_dups, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_exact_reps" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, min(doc_id) AS rep, count(*) AS group_size
+        |      FROM f GROUP BY fp)
+        |SELECT f.doc_id, g.rep, g.group_size,
+        |  cast(f.doc_id = g.rep AS int) AS is_keeper
+        |FROM f JOIN g ON f.fp = g.fp ORDER BY f.doc_id""".stripMargin,
 
     "q_token_jaccard" ->
       """WITH t AS (SELECT doc_id,

@@ -44,6 +44,24 @@ object DedupOps {
       .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("fp"))))
   }
 
+  /** The skew-safe LINEAR form of exact dedup: one row `(id, rep,
+    * group_size, is_keeper)` per document, where `rep` is the group's
+    * minimum id. Unlike [[exactDupRanks]] — whose per-fingerprint window
+    * materializes a 10^9-member identical-boilerplate cluster on ONE
+    * reducer (windows get no AQE skew split) — this is a hash-aggregate
+    * (map-side partial combine collapses the hot fingerprint to one row
+    * per map partition) plus an equi-join back, which AQE skew-splits.
+    * Use this form at scale whenever per-member ranks are not needed
+    * (dedup keep/drop decisions only need rep identity).
+    */
+  def exactDupReps(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withFp = df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+    val groups = withFp.groupBy("fp")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("group_size"))
+    withFp.join(groups, "fp")
+      .select(col("id"), col("rep"), col("group_size"), (col("id") === col("rep")).as("is_keeper"))
+  }
+
   /** 64-bit string hash (xx-style avalanche over UTF-16 chars). */
   private[ops] def hash64(s: String): Long = {
     var h = 0x9e3779b97f4a7c15L

@@ -253,6 +253,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashedSpans == Set((1L, 0), (1L, 3)))
   }
 
+  test("exactDupReps: linear form agrees with the windowed ranks, plans no window") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "same text here"), (5L, "same  TEXT  here "), (3L, "same text here"),
+      (2L, "unique one"), (9L, "another unique"))).toDF("doc_id", "text")
+    // normalization folds 1, 5, 3 into one group (rep 1); others singleton
+    val reps = DedupOps.exactDupReps(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(reps == Map(
+      1L -> ((1L, 3L, true)), 3L -> ((1L, 3L, false)), 5L -> ((1L, 3L, false)),
+      2L -> ((2L, 1L, true)), 9L -> ((9L, 1L, true))))
+    // agreement with the windowed form: rank 1 <=> is_keeper, sizes equal
+    val ranks = DedupOps.exactDupRanks(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("dup_rank"), r.getAs[Long]("group_size")))).toMap
+    ranks.foreach { case (id, (rank, size)) =>
+      assert((rank == 1) == reps(id)._3 && size == reps(id)._2, s"doc $id")
+    }
+    // the linear form must not plan a window (that is its whole point)
+    val wins = DedupOps.exactDupReps(df, "text", "doc_id").queryExecution.optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.isEmpty, "exactDupReps must be window-free")
+  }
+
   test("contaminationSpans: hashed (the 100 TB default) == string-keyed on the planted corpus") {
     // the counting operator has this equality pinned; the spans operator's
     // hashed path must agree with the string-keyed oracle form on exact

@@ -43,7 +43,17 @@ object DedupMain {
   /** The launchable body, separated from `main` so tests drive it with
     * their own session and tmp dirs.
     */
+  private val KnownFlags = Set("in", "out", "id-col", "text-col", "threshold",
+    "hashes", "bands", "max-bucket", "max-iter", "keep-by", "artifact-dir",
+    "checkpoint-dir")
+
   def run(spark: SparkSession, a: Map[String, String]): Stats = {
+    // fail fast on unknown flags: a typo'd --thresold must not silently
+    // launch a 100 TB dedup at the default threshold
+    val unknown = a.keySet -- KnownFlags
+    require(unknown.isEmpty,
+      s"unknown flag(s): ${unknown.toSeq.sorted.map("--" + _).mkString(", ")}; " +
+        s"known: ${KnownFlags.toSeq.sorted.map("--" + _).mkString(", ")}")
     val in = a.getOrElse("in", sys.error("--in <documents parquet> is required"))
     val out = a.getOrElse("out", sys.error("--out <dir> is required"))
     val idCol = a.getOrElse("id-col", "doc_id")

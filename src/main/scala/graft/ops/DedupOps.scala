@@ -456,6 +456,7 @@ object DedupOps {
     // cc-<uuid> dir is best-effort deleted — nothing can consume a
     // partial run's round files.
     var ok = false
+    var edgesHandle: Option[DataFrame] = None
     try {
       val (truncate, cleanupSuperseded): (DataFrame => DataFrame, () => Unit) =
         checkpointDir match {
@@ -495,6 +496,7 @@ object DedupOps {
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      edgesHandle = Some(edges) // released in finally: failure paths too
 
       // Each round's result is checkpointed (eager): without lineage
       // TRUNCATION the logical plan triples per iteration and Catalyst
@@ -526,10 +528,12 @@ object DedupOps {
           s"connectedComponents: maxIter=$maxIter reached with $changed labels still " +
             "changing — result is a valid refinement, not the full component labeling " +
             "(graph diameter exceeds the round cap)")
-      edges.unpersist(blocking = false)
       ok = true
       CcResult(labels.withColumnRenamed("label", "cluster"), changed == 0, iter, ccPath)
     } finally {
+      // release the edge cache on EVERY exit path (a mid-loop failure must
+      // not pin 2|pairs| rows in executor storage for the session)
+      edgesHandle.foreach(_.unpersist(blocking = false))
       // restore the session's checkpoint dir (a global setting this loop
       // redirected); later .checkpoint() callers must not land in cc-<uuid>
       prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -619,6 +623,31 @@ object DedupOps {
         val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         def committed(stage: String) = fs.exists(new Path(s"$dir/$stage/$CommitMarker"))
         def mark(stage: String) = fs.create(new Path(s"$dir/$stage/$CommitMarker"), true).close()
+        // Parameter sidecar: committed stages embody the parameters they
+        // were produced with — resuming them under DIFFERENT dedup
+        // parameters would silently return stale results (the worst
+        // failure mode a resume path can have). The first run records the
+        // parameters; every later run must match or fail fast. keepBy is
+        // deliberately NOT recorded: it only affects the post-label keeper
+        // derivation, so the same stages legitimately serve any policy.
+        val params = s"""{"idCol":"$idCol","textCol":"$textCol","threshold":$threshold,""" +
+          s""""k":$k,"numHashes":$numHashes,"bands":$bands,"maxBucket":$maxBucket}"""
+        val paramsPath = new Path(s"$dir/params.json")
+        if (fs.exists(paramsPath)) {
+          val in = fs.open(paramsPath)
+          val prior = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          require(prior == params,
+            s"dedupCorpus: artifactDir $dir was produced with different parameters " +
+              s"($prior vs $params) — resuming would return stale results; delete the " +
+              "directory to re-run under the new parameters")
+        } else if (committed("pairs") || committed("labels")) {
+          sys.error(s"dedupCorpus: artifactDir $dir has committed stages but no " +
+            "params.json — cannot prove parameter compatibility; delete the directory")
+        } else {
+          val out = fs.create(paramsPath, true)
+          out.write(params.getBytes("UTF-8"))
+          out.close()
+        }
         if (!committed("labels")) {
           if (!committed("pairs")) {
             val pairs = minhashNearDups(df, idCol, textCol, threshold, k,
@@ -651,28 +680,51 @@ object DedupOps {
           .select(col("id").as("__loser_id"))
       case Some(keyCol) =>
         // two-level agg, no window: per-cluster max key, then the min id
-        // among members attaining it — deterministic, skew-safe
+        // among members attaining it — deterministic, skew-safe.
+        // Null-safe equality (<=>) on the max: a cluster whose keep key is
+        // null for EVERY member would otherwise produce no keeper at all
+        // (null === null is null) and silently keep every duplicate; with
+        // <=> such a cluster falls back to the min-id policy (all members
+        // tie at null, min id wins). Mixed clusters are unaffected: max()
+        // skips nulls, and null <=> non-null is false.
         val members = cc.labels
           .join(df.select(col(idCol).as("id"), keyCol.as("__kv")), "id")
         val best = members.groupBy("cluster").agg(max(col("__kv")).as("__mx"))
         val keepers = members.join(best, "cluster")
-          .filter(col("__kv") === col("__mx"))
+          .filter(col("__kv") <=> col("__mx"))
           .groupBy("cluster").agg(min(col("id")).as("__keeper"))
         cc.labels.join(keepers, "cluster")
           .filter(col("id") =!= col("__keeper"))
           .select(col("id").as("__loser_id"))
     }
-    // The loser set is materialized ONCE (eager localCheckpoint: small
-    // two-long rows, distributed, lineage-truncated, GC-freed). That (a)
-    // detaches it from the reliable-checkpoint files so they can be
-    // deleted, and (b) prices the side for an EXPLICIT guarded broadcast:
-    // under the limit the survivor anti-join needs no corpus exchange at
-    // all — relying on AQE's runtime SMJ->BHJ conversion alone still
-    // writes the corpus-side shuffle files first (both leaf stages
-    // materialize before the join re-plans), which at 100 TB is the whole
-    // cost. Above the limit (a pathological majority-duplicate corpus)
-    // the join runs un-hinted and completes as a shuffle join.
-    val losers = losersLazy.localCheckpoint(eager = true)
+    // The loser set is materialized ONCE. That (a) detaches it from the
+    // reliable cc checkpoint files so they can be deleted, and (b) prices
+    // the side for an EXPLICIT guarded broadcast: under the limit the
+    // survivor anti-join needs no corpus exchange at all — relying on
+    // AQE's runtime SMJ->BHJ conversion alone still writes the corpus-side
+    // shuffle files first (both leaf stages materialize before the join
+    // re-plans), which at 100 TB is the whole cost. Above the limit (a
+    // pathological majority-duplicate corpus) the join runs un-hinted and
+    // completes as a shuffle join.
+    //
+    // Durability matches the caller's intent: without `checkpointDir` the
+    // losers are an eager localCheckpoint (executor blocks, GC-freed —
+    // block loss fails the job, single-box semantics). WITH
+    // `checkpointDir` — the caller asked for executor-loss recovery — the
+    // losers go to durable parquet under `$checkpointDir/losers-<uuid>`
+    // BEFORE the cc round files are deleted, so an executor lost during
+    // the (potentially hours-long) survivor anti-join cannot kill the
+    // lineage. The (ids-only, bounded) losers dir lives under the
+    // caller-owned checkpoint directory and follows its retention policy.
+    val losers = cc.checkpointPath match {
+      case None => losersLazy.localCheckpoint(eager = true)
+      case Some(_) =>
+        val durable = s"${checkpointDir.get}/losers-${java.util.UUID.randomUUID()}"
+        losersLazy.write.mode("overwrite").parquet(durable)
+        org.slf4j.LoggerFactory.getLogger("graft.dedup")
+          .info(s"dedupCorpus: loser id set persisted at $durable (caller-owned retention)")
+        spark.read.parquet(durable)
+    }
     cc.checkpointPath.foreach { p =>
       try {
         import org.apache.hadoop.fs.Path

@@ -249,7 +249,10 @@ object MediaOps {
     val windows = math.max(1, dims / 2)
     val out = new Array[Float](dims)
     val n = clip.samples.length
-    if (n == 0) return (out, 0)
+    // a decodable zero-sample clip (valid WAV, empty data chunk — crawl
+    // corpora contain these) keeps the frames >= 1 invariant every other
+    // feature path maintains: zero features over one (empty) window
+    if (n == 0) return (out, 1)
     var w = 0
     while (w < windows) {
       val from = (w.toLong * n / windows).toInt

@@ -129,8 +129,11 @@ object StreamingExtract {
 
   /** An emitted near-dup candidate: `est_jaccard` is the matching-minhash
     * fraction (an unbiased Jaccard estimate); `ts` is the ARRIVING doc's
-    * event time (the later of the pair — what downstream watermarking
-    * anchors on). The same pair can surface from several bands — use
+    * event time — usually the later of the pair, but a LATE arrival
+    * (within the lateness horizon) pairing against an earlier-arrived,
+    * later-timestamped mate carries the earlier time; anchor downstream
+    * windowing on "detection-triggering arrival", not "max of the pair".
+    * The same pair can surface from several bands — use
     * [[nearDupPairsStream]] when exactly-once pairs matter.
     */
   final case class NearDupHit(id_a: Long, id_b: Long, band: Int, est_jaccard: Double,

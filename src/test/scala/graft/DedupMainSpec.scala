@@ -74,5 +74,10 @@ class DedupMainSpec extends AnyFunSuite with BeforeAndAfterAll {
       DedupMain.run(spark, Map("in" -> "/nope", "out" -> "/x", "keep-by" -> "newest"))
     }
     intercept[RuntimeException] { DedupMain.run(spark, Map("out" -> "/x")) }
+    // a typo'd flag must not silently launch with defaults
+    val ex = intercept[IllegalArgumentException] {
+      DedupMain.run(spark, Map("in" -> "/nope", "out" -> "/x", "thresold" -> "0.9"))
+    }
+    assert(ex.getMessage.contains("--thresold"), ex.getMessage)
   }
 }

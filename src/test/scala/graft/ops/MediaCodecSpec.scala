@@ -135,6 +135,12 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     // junk bytes decode to None, not an exception
     assert(MediaOps.decodeAudio("not audio at all".getBytes("UTF-8")).isEmpty)
     assert(MediaOps.decodeAudio(Array.emptyByteArray).isEmpty)
+    // a VALID WAV with an empty data chunk decodes to zero samples and
+    // keeps the frames >= 1 invariant (no downstream divide-by-zero)
+    val emptyClip = MediaOps.decodeAudio(realWavBytes(440.0, seconds = 0.0, rate = rate))
+    assert(emptyClip.exists(_.samples.isEmpty))
+    val (feats, frames) = MediaOps.audioFeatures(emptyClip.get, dims = 8)
+    assert(frames == 1 && feats.forall(_ == 0.0f))
   }
 
   test("audio features: per-window RMS matches the sine's a/sqrt(2), ZCR tracks frequency") {

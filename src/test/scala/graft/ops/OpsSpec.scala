@@ -141,16 +141,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"failed cc run left files: ${Option(left).toSeq.flatten.mkString(", ")}")
   }
 
-  test("dedupCorpus: reliable checkpoint is consumed into the loser set and deleted") {
+  test("dedupCorpus: reliable checkpoint consumed; losers durable; cc files deleted") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dc_ckpt").toString
     val survivors = DedupOps.dedupCorpus(docsDf, "doc_id", "text", threshold = 0.7,
         checkpointDir = Some(dir))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors == (0L until 120L).toSet)
-    // no leaked cc-<uuid> directory: every invocation cleans up after itself
-    val left = new java.io.File(dir).listFiles()
-    assert(left == null || left.isEmpty,
-      s"dedupCorpus leaked checkpoint files: ${Option(left).toSeq.flatten.mkString(", ")}")
+    // the cc-<uuid> round files are deleted; what remains is exactly the
+    // durable loser id set (parquet under the caller-owned dir — with a
+    // reliable-checkpoint intent, an executor lost during the survivor
+    // anti-join must not be able to kill the loser lineage)
+    val left = Option(new java.io.File(dir).listFiles()).toSeq.flatten.map(_.getName)
+    assert(left.forall(_.startsWith("losers-")),
+      s"unexpected leftover checkpoint files: ${left.mkString(", ")}")
+    assert(left.size == 1, s"expected exactly the durable loser set: $left")
+    val loserIds = spark.read.parquet(s"$dir/${left.head}")
+      .collect().map(_.getLong(0)).toSet
+    assert(loserIds == (0 until 30).map(i => 1000L + i).toSet)
+  }
+
+  test("dedupCorpus keepBy: all-null keep keys fall back to min-id instead of keeping everyone") {
+    // clusters: {1,2} both null scores -> min-id keeper 1; {10,11} mixed ->
+    // the non-null score wins; {20} untouched
+    val df = spark.createDataFrame(Seq(
+      (1L, "aa bb cc dd ee", null.asInstanceOf[java.lang.Long]),
+      (2L, "aa bb cc dd ee", null.asInstanceOf[java.lang.Long]),
+      (10L, "ff gg hh ii jj", null.asInstanceOf[java.lang.Long]),
+      (11L, "ff gg hh ii jj", java.lang.Long.valueOf(7L)),
+      (20L, "zz unrelated doc here", java.lang.Long.valueOf(1L))))
+      .toDF("doc_id", "text", "score")
+    val survivors = DedupOps.dedupCorpus(df, "doc_id", "text", threshold = 0.8,
+        keepBy = Some(col("score")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 11L, 20L), survivors.toString)
   }
 
   test("dedupCorpus artifactDir: stages commit, resume consumes them, partials are repaired") {
@@ -189,6 +212,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rmTree(s"$dir/labels")
     new java.io.File(s"$dir/pairs/_COMMITTED").delete()
     assert(survivors() == full, "unmarked pair stage must be recomputed, not trusted")
+
+    // resuming committed stages under DIFFERENT parameters must fail fast
+    // (silently reusing them would return stale results)
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.dedupCorpus(docsDf, "doc_id", "text", threshold = 0.9,
+        artifactDir = Some(dir))
+    }
+    assert(ex.getMessage.contains("different parameters"), ex.getMessage)
+    // ... but a different KEEPER POLICY legitimately reuses them (the
+    // stages are policy-independent)
+    val byLen = DedupOps.dedupCorpus(docsDf, "doc_id", "text", threshold = 0.7,
+        artifactDir = Some(dir), keepBy = Some(length(col("text"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byLen == (30L until 120L).toSet ++ (0 until 30).map(i => 1000L + i))
   }
 
   test("dedupCorpus keepBy: longest member survives per cluster, min id on ties") {

@@ -1050,7 +1050,8 @@ object SparkEntry {
 
     "q_dedup_exact_reps" ->
       """WITH f AS (SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |    coalesce(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+        |             '__null_text__') AS fp
         |  FROM documents),
         |g AS (SELECT fp, min(doc_id) AS rep, count(*) AS group_size
         |      FROM f GROUP BY fp)

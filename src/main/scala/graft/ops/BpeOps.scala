@@ -124,18 +124,6 @@ object BpeOps {
     } finally wordFreq.unpersist(blocking = false)
   }
 
-  /** Release a localCheckpoint'd frame's executor blocks NOW: the blocks
-    * live on the checkpointed internal RDD (Dataset.unpersist does not
-    * touch them; without this they are only freed when the RDD is GC'd —
-    * a long merge loop would retain every superseded round's dictionary
-    * copy in executor storage).
-    */
-  private def freeLocalCheckpoint(ds: Dataset[_]): Unit =
-    ds.queryExecution.analyzed.collectLeaves().foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
-
   /** Select a provably order-preserving merge batch from the sorted
     * (cnt desc, l asc, r asc) pair prefix. Greedy scan: accept pairs whose
     * symbols are disjoint from every already-accepted pair's, stop at the
@@ -235,11 +223,11 @@ object BpeOps {
           batchPairs.foreach { case (l, r) => s = mergeWord(s, l, r) }
           (s.toSeq, f)
         }.localCheckpoint(true)
-        freeLocalCheckpoint(vocab)
+        CacheUtil.freeLocalCheckpoint(vocab)
         vocab = next
       }
     }
-    freeLocalCheckpoint(vocab) // final round's blocks: nothing reads them again
+    CacheUtil.freeLocalCheckpoint(vocab) // final round's blocks: nothing reads them again
     merges.toSeq
   }
 

@@ -55,7 +55,12 @@ object DedupOps {
     * (dedup keep/drop decisions only need rep identity).
     */
   def exactDupReps(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val withFp = df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+    // null-text docs form their own group (as the windowed form's null
+    // partition does) instead of vanishing through the null-hostile
+    // equi-join: fingerprint(null) is null and null = null never matches.
+    // The sentinel cannot collide with a real md5 (32 hex chars).
+    val withFp = df.select(col(idCol).as("id"),
+      coalesce(TextOps.fingerprint(col(textCol)), lit("__null_text__")).as("fp"))
     val groups = withFp.groupBy("fp")
       .agg(min(col("id")).as("rep"), count(lit(1)).as("group_size"))
     withFp.join(groups, "fp")
@@ -485,7 +490,21 @@ object DedupOps {
               out
             }
             (trunc, () => deletable.foreach(d => fs.delete(new Path(d), true)))
-          case None => (df => df.localCheckpoint(eager = true), () => ())
+          case None =>
+          // mirror the reliable path's superseded-round cleanup: without
+          // it, up to maxIter full per-vertex label frames stay pinned in
+          // executor storage until RDD GC (the BpeOps freeLocalCheckpoint
+          // lesson). A superseded round is freed only after the next round
+          // is materialized AND the change-count that reads it has run.
+          var prevLocal: Option[DataFrame] = None
+          var supersededLocal: Option[DataFrame] = None
+          val trunc: DataFrame => DataFrame = df => {
+            val out = df.localCheckpoint(eager = true)
+            supersededLocal = prevLocal
+            prevLocal = Some(out)
+            out
+          }
+          (trunc, () => { supersededLocal.foreach(CacheUtil.freeLocalCheckpoint); supersededLocal = None })
         }
       // No edge distinct(): min-label propagation is IDEMPOTENT to
       // duplicate edges (min over a multiset equals min over its set), so
@@ -598,16 +617,36 @@ object DedupOps {
                   keepBy: Option[Column] = None,
                   artifactDir: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
+    // resolve the keeper-policy expression BEFORE any heavy work: a typo'd
+    // column (DedupMain --keep-by col:<typo>) must fail here, not after
+    // hours of signature + clustering jobs (analysis only — no job runs)
+    keepBy.foreach(c => df.select(c).queryExecution.analyzed)
+    def requireConverged(cc: CcResult): Unit =
+      if (!cc.converged) {
+        // strict: silently dropping keepers because label propagation had
+        // not converged would corrupt the corpus — fail fast, but clean up
+        // first (the status call SUCCEEDED, so its own finally kept the
+        // final round's reliable files; nothing will consume them now)
+        cc.checkpointPath.foreach { p =>
+          try {
+            import org.apache.hadoop.fs.Path
+            val hp = new Path(p)
+            hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw new IllegalArgumentException(
+          s"dedupCorpus: connected components did not converge in maxIter=$maxIter " +
+            "rounds — raise maxIter (an unconverged labeling could drop keepers)")
+      }
     def freshLabels(): CcResult = {
       val pairs = minhashNearDups(df, idCol, textCol, threshold, k, numHashes, bands, maxBucket)
-      // strict: silently dropping keepers because label propagation had not
-      // converged would corrupt the corpus — fail fast instead
-      val cc = connectedComponentsStatus(pairs.select("id_a", "id_b"), maxIter, checkpointDir)
-      require(cc.converged,
-        s"dedupCorpus: connected components did not converge in maxIter=$maxIter " +
-          "rounds — raise maxIter (an unconverged labeling could drop keepers)")
-      pairs.unpersist(blocking = false)
-      cc
+      // the pairs cache is released on BOTH paths (a non-convergence throw
+      // must not strand the persisted pair frame for the session)
+      try {
+        val cc = connectedComponentsStatus(pairs.select("id_a", "id_b"), maxIter, checkpointDir)
+        requireConverged(cc)
+        cc
+      } finally pairs.unpersist(blocking = false)
     }
     // `artifactDir` makes the run RESTARTABLE (ExtractJob's bucket-commit
     // idiom): the pair list and the cluster labels are written as parquet
@@ -659,9 +698,7 @@ object DedupOps {
           // underscore-prefixed files (the marker) are invisible to the scan
           val cc0 = connectedComponentsStatus(
             spark.read.parquet(s"$dir/pairs"), maxIter, checkpointDir)
-          require(cc0.converged,
-            s"dedupCorpus: connected components did not converge in maxIter=$maxIter " +
-              "rounds — raise maxIter (an unconverged labeling could drop keepers)")
+          requireConverged(cc0) // deletes the stranded cc files on throw
           cc0.labels.write.mode("overwrite").parquet(s"$dir/labels")
           mark("labels")
           // the labels are durable parquet now — the round checkpoint (if
@@ -707,19 +744,23 @@ object DedupOps {
     // pathological majority-duplicate corpus) the join runs un-hinted and
     // completes as a shuffle join.
     //
-    // Durability matches the caller's intent: without `checkpointDir` the
-    // losers are an eager localCheckpoint (executor blocks, GC-freed —
-    // block loss fails the job, single-box semantics). WITH
-    // `checkpointDir` — the caller asked for executor-loss recovery — the
-    // losers go to durable parquet under `$checkpointDir/losers-<uuid>`
-    // BEFORE the cc round files are deleted, so an executor lost during
-    // the (potentially hours-long) survivor anti-join cannot kill the
-    // lineage. The (ids-only, bounded) losers dir lives under the
-    // caller-owned checkpoint directory and follows its retention policy.
-    val losers = cc.checkpointPath match {
+    // Durability matches the caller's intent — keyed off the
+    // `checkpointDir` PARAMETER (the caller's executor-loss-recovery
+    // opt-in), not off whether this particular invocation happened to take
+    // the reliable-cc path (with artifactDir set the labels come from
+    // parquet and cc.checkpointPath is None, but the caller's durability
+    // intent still stands). Without checkpointDir the losers are an eager
+    // localCheckpoint (executor blocks, GC-freed — block loss fails the
+    // job, single-box semantics). With it, the losers go to durable
+    // parquet under `$checkpointDir/losers-<uuid>` BEFORE any cc round
+    // files are deleted, so an executor lost during the (potentially
+    // hours-long) survivor anti-join cannot kill the lineage. The
+    // (ids-only, bounded) losers dir lives under the caller-owned
+    // checkpoint directory and follows its retention policy.
+    val losers = checkpointDir match {
       case None => losersLazy.localCheckpoint(eager = true)
-      case Some(_) =>
-        val durable = s"${checkpointDir.get}/losers-${java.util.UUID.randomUUID()}"
+      case Some(cd) =>
+        val durable = s"$cd/losers-${java.util.UUID.randomUUID()}"
         losersLazy.write.mode("overwrite").parquet(durable)
         org.slf4j.LoggerFactory.getLogger("graft.dedup")
           .info(s"dedupCorpus: loser id set persisted at $durable (caller-owned retention)")
@@ -735,8 +776,15 @@ object DedupOps {
     val nLosers = losers.count()
     org.slf4j.LoggerFactory.getLogger("graft.dedup")
       .info(s"dedupCorpus: dropping $nLosers near-duplicate documents")
+    // type-aware broadcast limit (same idiom as the contamination guard):
+    // 5e7 8-byte numeric ids ~ 0.4 GB, but STRING ids (URLs ~ 100 B) at
+    // that count would blow Spark's 8 GB broadcast ceiling / the driver —
+    // a forced broadcast would kill a job the plain shuffle join completes
+    val idIsNumeric = df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val loserBroadcastLimit = if (idIsNumeric) 50000000L else 5000000L
     val joinSide =
-      if (nLosers <= 50000000L) broadcast(losers) // ~0.4 GB of 8-byte ids
+      if (nLosers <= loserBroadcastLimit) broadcast(losers)
       else losers
     df.join(joinSide, col(idCol) === col("__loser_id"), "left_anti")
   }

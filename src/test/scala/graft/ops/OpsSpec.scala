@@ -311,6 +311,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val wins = DedupOps.exactDupReps(df, "text", "doc_id").queryExecution.optimizedPlan
       .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
     assert(wins.isEmpty, "exactDupReps must be window-free")
+    // null-text docs must not vanish through the null-hostile equi-join:
+    // they form their own group (one keeper), like the windowed form's
+    // null partition
+    val withNulls = spark.createDataFrame(Seq(
+      (1L, "x"), (7L, null.asInstanceOf[String]), (8L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val nr = DedupOps.exactDupReps(withNulls, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(nr == Map(1L -> ((1L, 1L, true)), 7L -> ((7L, 2L, true)), 8L -> ((7L, 2L, false))))
   }
 
   test("contaminationSpans: hashed (the 100 TB default) == string-keyed on the planted corpus") {

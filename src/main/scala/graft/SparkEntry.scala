@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{TagAttributes => CoreTagAttributes}
-import graft.ops.{DedupOps, JoinOps, MediaOps, PackOps, SimOps, TextOps}
+import graft.ops.{DedupOps, JoinOps, MediaOps, PackOps, RetrievalOps, ShuffleOps, SimOps, TextOps}
 import graft.pipeline.{ConvAssembly, ExtractJob, SpanLineage, TranscriptGen, Turn, Udfs}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -640,6 +640,84 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_docs_tfidf" -> ((s, dir) => {
+      // top-3 TF-IDF terms per doc: rank key is the exact rational tf/df
+      // (linear idf — no transcendental math, so both engines order
+      // identically); tf/df are two hash-agg passes, the ranking window
+      // partitions by doc_id (bounded by one doc's vocabulary, never by
+      // corpus frequency)
+      RetrievalOps.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    "q_inverted_index" -> ((s, dir) => {
+      // inverted-index construction: per token, document frequency + the
+      // first-20 posting head via the native bounded-heap topk aggregate
+      // (O(k) state map- AND reduce-side; a hot token never concentrates
+      // its posting stream on one reducer the way collect_list would)
+      RetrievalOps.invertedIndex(docs(s, dir), "doc_id", "text", maxPostings = 20)
+        .orderBy("token")
+    }),
+
+    "q_docs_bigram_fam" -> ((s, dir) => {
+      // corpus-LM familiarity: sum of corpus-wide bigram occurrence counts
+      // over each doc's bigram occurrences — the integer-exact n-gram-LM
+      // quality signal (gibberish = rare transitions = low familiarity)
+      RetrievalOps.bigramFamiliarity(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q_docs_sample" -> ((s, dir) => {
+      // deterministic stratified down-sampling (corpus mixing): strata by
+      // doc_id%3 with per-mille keep rates 500/200/100, decided by a
+      // salted content-hash bucket — map-side, zero shuffle, reproducible
+      // across runs/layouts/engines, content-stable under re-crawl
+      val stratum = (col("doc_id") % 3).cast("int")
+      docs(s, dir)
+        .withColumn("stratum", stratum)
+        .filter(TextOps.sampleKeep(col("text"), stratum.cast("string"), "mix1",
+          Map("0" -> 500, "1" -> 200, "2" -> 100)))
+        .select(col("doc_id"), col("stratum"))
+        .orderBy("doc_id")
+    }),
+
+    "q_docs_shuffle" -> ((s, dir) => {
+      // deterministic global shuffle + sharding: stable position by
+      // md5("s42:"||id) order via the two-phase total-order idiom (range
+      // partition + within-partition sort + broadcast prefix offsets) —
+      // NOT a row_number window, which would plan a single-partition sort
+      ShuffleOps.globalShuffle(docs(s, dir), "doc_id", "s42", nShards = 8)
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_lines_global" -> ((s, dir) => {
+      // corpus-wide duplicate-line removal (C4-style keep-globally-first):
+      // constructed 5-line docs — 'nav'/'footer' repeat corpus-wide (only
+      // doc 0 keeps them), 'promo <k>' repeats per 10-doc group, and the
+      // doc body appears twice (second copy always drops; first copy drops
+      // iff an earlier doc has identical text)
+      val lined = docs(s, dir).withColumn("doc",
+        concat(lit("nav\n"), col("text"), lit("\npromo "),
+          (col("doc_id") % 10).cast("string"), lit("\n"), col("text"),
+          lit("\nfooter")))
+      DedupOps.dedupLinesGlobal(lined, "doc_id", "doc")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "q_contamination_ratio" -> ((s, dir) => {
+      // thresholded decontamination: per train doc, distinct 5-gram count,
+      // benchmark-overlap count, and the integer-exact >=20% flag — the
+      // form real pipelines filter on (one shared n-gram is noise; a 20%
+      // overlap is a leak). Same guarded-broadcast shape as q_contamination
+      val d = docs(s, dir)
+      DedupOps.contaminationRatio(
+          d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 5, thresholdPct = 20, hashed = false)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search ------------------------------------------------
     "q_ann_top1" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -930,6 +1008,18 @@ object SparkEntry {
       // the driver checks the trained merge table is non-empty and stable
       val merges = graft.ops.BpeOps.bpeTrain(docs(s, dir), "text", numMerges = 30)
       s.createDataFrame(merges).toDF("rank", "left", "right").orderBy("rank")
+    }),
+
+    "x_bpe_encode" -> ((s, dir) => {
+      // tokenizer APPLICATION: encode the corpus with a 30-merge vocab
+      // trained on it — map-side mapPartitions with broadcast merges and a
+      // per-task word memo. Not SQL-expressible (the segmentation is the
+      // sequential merge loop); BpeSpec asserts distributed == pure-Scala
+      // per-doc piece counts and segment streams
+      val merges = graft.ops.BpeOps.bpeTrain(docs(s, dir), "text", numMerges = 30)
+      graft.ops.BpeOps.bpeEncodeDocs(docs(s, dir), "doc_id", "text", merges)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }),
 
     // ---- realistic generated-markup pipeline (non-SQL-expressible) --------
@@ -1399,6 +1489,105 @@ object SparkEntry {
         |      list_transform(range(1, length(text) + 1), i -> cast(unicode(text[i]) AS bigint))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rollhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_docs_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |              FROM documents WHERE trim(text) <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf * 1.0 / dfc.df DESC, tf.token) AS rank
+        |      FROM tf JOIN dfc ON tf.token = dfc.token)
+        |SELECT doc_id, cast(rank AS int) AS rank, token, tf, df
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |              FROM documents WHERE trim(text) <> ''),
+        |td AS (SELECT DISTINCT token, doc_id FROM toks)
+        |SELECT token, count(*) AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+        |FROM td GROUP BY token ORDER BY token""".stripMargin,
+
+    "q_docs_bigram_fam" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS varchar[])
+        |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS bi
+        |  FROM t),
+        |u AS (SELECT doc_id, unnest(bi) AS bigram FROM b),
+        |c AS (SELECT bigram, count(*) AS cnt FROM u GROUP BY 1),
+        |f AS (SELECT u.doc_id, count(*) AS n_bi, sum(c.cnt) AS fam
+        |      FROM u JOIN c ON u.bigram = c.bigram GROUP BY 1)
+        |SELECT b.doc_id, cast(coalesce(f.n_bi, 0) AS int) AS n_bi,
+        |  cast(coalesce(f.fam, 0) AS bigint) AS familiarity
+        |FROM b LEFT JOIN f ON b.doc_id = f.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "q_docs_sample" ->
+      """SELECT doc_id, cast(doc_id % 3 AS int) AS stratum
+        |FROM documents
+        |WHERE ('0x' || substr(md5('mix1:' || text), 1, 6))::BIGINT % 1000 <
+        |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 500 WHEN 1 THEN 200 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_docs_shuffle" ->
+      """WITH k AS (SELECT doc_id, md5('s42:' || cast(doc_id AS varchar)) AS hk
+        |           FROM documents),
+        |n AS (SELECT count(*) AS cnt FROM documents),
+        |o AS (SELECT doc_id,
+        |        row_number() OVER (ORDER BY hk, doc_id) - 1 AS pos FROM k)
+        |SELECT o.doc_id,
+        |  cast(o.pos // greatest(1, (n.cnt + 7) // 8) AS int) AS shard,
+        |  cast(o.pos AS bigint) AS pos
+        |FROM o, n ORDER BY o.doc_id""".stripMargin,
+
+    "q_dedup_lines_global" ->
+      """WITH d AS (SELECT doc_id,
+        |    concat('nav', chr(10), text, chr(10), 'promo ',
+        |           cast(doc_id % 10 AS varchar), chr(10), text, chr(10),
+        |           'footer') AS doc
+        |  FROM documents),
+        |l AS (SELECT doc_id, u['idx'] AS idx, u['line'] AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |        i -> {'idx': i - 1, 'line': arr[i]})) AS u
+        |    FROM (SELECT doc_id, string_split(doc, chr(10)) AS arr FROM d))),
+        |w AS (SELECT line, min(doc_id * 1000000 + idx) AS wk FROM l GROUP BY 1),
+        |kept AS (SELECT l.doc_id, l.idx, l.line FROM l JOIN w
+        |         ON l.line = w.line AND l.doc_id * 1000000 + l.idx = w.wk),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS cleaned,
+        |             count(*) AS n_after FROM kept GROUP BY 1)
+        |SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned,
+        |  cast(len(string_split(d.doc, chr(10))) AS int) AS n_before,
+        |  cast(coalesce(r.n_after, 0) AS int) AS n_after
+        |FROM d LEFT JOIN r ON d.doc_id = r.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q_contamination_ratio" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 5 THEN CAST([] AS varchar[])
+        |         ELSE list_transform(range(1, len(toks) - 3),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                toks[i+3] || ' ' || toks[i+4]) END) AS s
+        |  FROM t),
+        |bset AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 5 = 0),
+        |tr AS (SELECT doc_id, unnest(s) AS g, len(s) AS n
+        |       FROM sh WHERE doc_id % 5 <> 0),
+        |hits AS (SELECT tr.doc_id, count(*) AS n_sh,
+        |           sum(CASE WHEN bset.g IS NULL THEN 0 ELSE 1 END) AS n_hit
+        |         FROM tr LEFT JOIN bset ON tr.g = bset.g GROUP BY 1)
+        |SELECT sh.doc_id, cast(coalesce(h.n_sh, 0) AS int) AS n_sh,
+        |  cast(coalesce(h.n_hit, 0) AS int) AS n_hit,
+        |  cast(CASE WHEN coalesce(h.n_hit, 0) * 100 >= coalesce(h.n_sh, 0) * 20
+        |            AND coalesce(h.n_sh, 0) > 0 THEN 1 ELSE 0 END AS int) AS flagged
+        |FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id
+        |WHERE sh.doc_id % 5 <> 0 ORDER BY sh.doc_id""".stripMargin,
 
     "q_ann_top1" ->
       """SELECT query_id, neighbor_id FROM (

@@ -234,6 +234,75 @@ object BpeOps {
   /** Segment one word with a trained merge list (apply merges in rank
     * order) — the encoding half used to sanity-check a trained vocab.
     */
+  /** Apply a trained merge list to every document — the tokenizer
+    * APPLICATION pass that turns a trained vocab into corpus token counts
+    * (the budget input for packing/chunking). Output per doc:
+    * `(id, n_words, n_pieces, preview)` where `preview` is the first
+    * `previewPieces` pieces space-joined (a human-checkable sample).
+    *
+    * Scale shape: entirely map-side — the merge list broadcasts once
+    * (≤ vocab-size small), segmentation runs inside `mapPartitions` with a
+    * per-task word→pieces memo (Zipf's law makes the hit rate ~99% on
+    * running text, so the per-word merge loop amortizes away; the memo is
+    * capped at 2²⁰ entries to bound task memory on pathological corpora).
+    * No shuffle, no driver state; tokenization matches [[bpeTrain]]'s
+    * (lowercased whitespace words) so counts are train-consistent.
+    */
+  def bpeEncodeDocs(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[BpeMerge], previewPieces: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = merges.sortBy(_.rank).toArray
+    val bc = spark.sparkContext.broadcast(sorted)
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(lower(col(textCol)), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.map { case (id, t) =>
+          val trimmed = t.trim
+          val words =
+            if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
+          var nPieces = 0L
+          val preview = new scala.collection.mutable.ArrayBuffer[String]()
+          words.foreach { w =>
+            var pieces = memo.get(w)
+            if (pieces == null) {
+              pieces = segmentWith(w, ms)
+              if (memo.size < (1 << 20)) memo.put(w, pieces)
+            }
+            nPieces += pieces.length
+            var i = 0
+            while (i < pieces.length && preview.size < previewPieces) {
+              preview += pieces(i); i += 1
+            }
+          }
+          (id, words.length, nPieces, preview.mkString(" "))
+        }
+      }.toDF("id", "n_words", "n_pieces", "preview")
+  }
+
+  /** [[bpeSegment]] against an already-rank-sorted merge array (the hot
+    * inner loop of [[bpeEncodeDocs]] — no per-word sort).
+    */
+  private[ops] def segmentWith(word: String, sorted: Array[BpeMerge]): Array[String] = {
+    var syms = word.toCharArray.map(_.toString)
+    var mi = 0
+    while (mi < sorted.length) {
+      val m = sorted(mi)
+      var has = false
+      var i = 0
+      while (!has && i + 1 < syms.length) {
+        if (syms(i) == m.left && syms(i + 1) == m.right) has = true
+        i += 1
+      }
+      if (has) syms = mergeWord(syms, m.left, m.right)
+      mi += 1
+    }
+    syms
+  }
+
   def bpeSegment(word: String, merges: Seq[BpeMerge]): Seq[String] = {
     var syms = word.toCharArray.map(_.toString)
     merges.sortBy(_.rank).foreach { m =>

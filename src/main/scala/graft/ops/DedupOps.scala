@@ -1109,4 +1109,113 @@ object DedupOps {
         simhash64(col(textCol)).as("sim"))
       .groupBy("fp")
       .agg(min(col("id")).as("rep"), min_by(col("sim"), col("id")).as("sim"))
+
+  /** CORPUS-WIDE duplicate-line removal (C4-style): every line that occurs
+    * more than once anywhere in the corpus keeps only its globally-first
+    * occurrence — ordered by (doc id, line index) — and every other
+    * occurrence is dropped, including repeats within one document. The
+    * cross-doc complement to the map-side [[TextOps.dedupLines]]; this is
+    * the pass that strips nav bars, cookie banners and footer boilerplate
+    * repeated across a crawl. Output: `(id, cleaned, n_before, n_after)`.
+    *
+    * Scale shape: lines are reduced to md5 keys at the scan (text never
+    * enters the winner aggregation); the global first occurrence per line
+    * is ONE hash aggregate — `min(struct(id, idx))` partial-aggregates
+    * map-side, so a boilerplate line with 10⁹ occurrences collapses to one
+    * row per map partition before the exchange (no window, no hot-key
+    * reducer). Only LOSING occurrences join back: per doc, the sorted
+    * array of dropped line indices — bytes proportional to duplicated
+    * lines, not to the corpus — under the same guarded-broadcast idiom as
+    * [[contamination]] (explicit broadcast below `loserBroadcastLimit`
+    * docs-with-losses rows; un-hinted shuffle join above it). Docs with no
+    * duplicated line pass through map-side untouched, and the rebuild is a
+    * codegen'd index filter against the doc's own split array.
+    */
+  def dedupLinesGlobal(df: DataFrame, idCol: String, textCol: String,
+                       sep: String = "\n",
+                       loserBroadcastLimit: Long = 50000000L): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("__idx", "__line")))
+      .select(col("__id"), col("__idx"), md5(col("__line")).as("__h"))
+    // global winner per line content: one partial-aggregating pass
+    val winners = lines.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__w"))
+      .select(col("__h"), col("__w.__id").as("__wid"), col("__w.__idx").as("__widx"))
+    // losing occurrences only — every occurrence that is not the winner
+    val lost = lines.join(winners, "__h")
+      .filter(!(col("__id") === col("__wid") && col("__idx") === col("__widx")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__idx"))).as("__lost"))
+      .localCheckpoint(true)
+    val nLosers = lost.count()
+    val joinSide = if (nLosers <= loserBroadcastLimit) broadcast(lost) else lost
+    val rebuilt = df.join(joinSide, df(idCol) === joinSide("__id"), "left")
+      .withColumn("__lostArr", coalesce(col("__lost"), array().cast("array<int>")))
+    rebuilt.select(col(idCol).as("id"),
+        TextOps.bindOnce(split(col(textCol), sepLit)) { ls =>
+          TextOps.bindOnce(col("__lostArr")) { la =>
+            array_join(filter(ls, (x, i) => !array_contains(la, i)), sep)
+          }
+        }.as("cleaned"),
+        size(split(col(textCol), sepLit)).cast("int").as("n_before"),
+        (size(split(col(textCol), sepLit)) - size(col("__lostArr"))).cast("int")
+          .as("n_after"))
+  }
+
+  /** Benchmark-contamination OVERLAP RATIO — the thresholded form real
+    * decontamination uses (a doc sharing one n-gram with a benchmark is
+    * noise; a doc whose shingle set is 20%+ benchmark material is a leak):
+    * per training doc, its distinct word `k`-gram count `n_sh`, the number
+    * of those present in the benchmark set `n_hit`, and an integer-exact
+    * `flagged = (n_hit * 100 >= n_sh * thresholdPct)`. Docs with fewer
+    * than `k` tokens have no shingles and are never flagged.
+    *
+    * Scale shape: identical to [[contamination]] — the bench side reduces
+    * to its distinct shingle set under the same type-aware guarded
+    * broadcast (`hashed = true` carries 8-byte xxhash64 keys at 100 TB;
+    * exact strings remain the oracle-checked default here), and the train
+    * side streams map-side: explode distinct shingles, LEFT-join the bench
+    * set, one hash aggregate per doc. No corpus shuffle below the guard.
+    */
+  def contaminationRatio(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 5, thresholdPct: Int = 20,
+                         hashed: Boolean = false,
+                         benchBroadcastLimit: Long = -1L): DataFrame = {
+    require(thresholdPct >= 0 && thresholdPct <= 100,
+      s"thresholdPct must be in [0, 100], got $thresholdPct")
+    require(benchBroadcastLimit >= -1,
+      s"benchBroadcastLimit must be -1 (auto), 0 (never broadcast), or a " +
+        s"positive row limit; got $benchBroadcastLimit")
+    def key(c: Column): Column = if (hashed) xxhash64(c) else c
+    val limit =
+      if (benchBroadcastLimit >= 0) benchBroadcastLimit
+      else if (hashed) 50000000L
+      else 5000000L
+    val benchSet = bench
+      .select(explode(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
+      .select(key(col("s")).as("sh"), lit(1).as("__hit"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val benchRows = benchSet.count()
+    val benchJoinSide =
+      if (benchRows <= limit) broadcast(benchSet)
+      else {
+        org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
+          s"contaminationRatio: bench shingle set has $benchRows distinct k-grams > " +
+            s"broadcast limit $limit — falling back to a shuffle join")
+        benchSet
+      }
+    train.select(col(idCol).as("id"),
+        explode_outer(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
+      .select(col("id"), when(col("s").isNotNull, key(col("s"))).as("sh"))
+      .join(benchJoinSide, Seq("sh"), "left")
+      .groupBy("id")
+      .agg(count(col("sh")).cast("int").as("n_sh"),
+        count(col("__hit")).cast("int").as("n_hit"))
+      .withColumn("flagged",
+        (col("n_hit") * 100 >= col("n_sh") * thresholdPct && col("n_sh") > 0)
+          .cast("int"))
+  }
 }

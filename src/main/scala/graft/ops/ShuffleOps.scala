@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus ordering for training-data pipelines: the global
+  * shuffle that fixes example order before sharding/packing. Training runs
+  * need an order that is (a) pseudo-random w.r.t. the source layout, (b)
+  * reproducible across re-runs and partition layouts, and (c) computable
+  * without a single-task total sort — `ORDER BY rand()` fails (a reproducer)
+  * and `row_number() OVER (ORDER BY key)` fails (c): Spark plans a global
+  * window as ONE partition, pulling the whole corpus through one task.
+  */
+object ShuffleOps {
+
+  /** Globally shuffle by the md5 of `seed:id` and assign each row a stable
+    * global position `pos` in [0, N) plus a contiguous shard id
+    * `pos div ceil(N/nShards)` — the layout a sharded training-data writer
+    * consumes directly.
+    *
+    * Scale shape (the two-phase total-order idiom): range-partition by the
+    * hash key and sort WITHIN partitions — both fully distributed — then
+    * turn per-partition row counts (one long per partition reaches the
+    * driver, bounded by `partitions`) into broadcast prefix offsets added
+    * map-side. Shuffled bytes per row: the 8-byte id and the 32-char hash;
+    * payload columns never move — callers join the (id, shard, pos) result
+    * back or feed it to a partitioned writer. The sorted frame is an eager
+    * `localCheckpoint` so the count pass and the index pass share one
+    * materialization (and the RDD's partition order is frozen); blocks are
+    * GC-freed with the returned frame's lineage.
+    *
+    * md5 ties are broken by id on BOTH the range partitioner and the
+    * within-partition sort, so the order is total and engine-independent.
+    */
+  def globalShuffle(df: DataFrame, idCol: String, seed: String,
+                    nShards: Int, partitions: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .select(col(idCol).cast("long").as("id"),
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string"))).as("hk"))
+      .repartitionByRange(p, col("hk"), col("id"))
+      .sortWithinPartitions("hk", "id")
+      .localCheckpoint(true)
+    // one long per partition — bounded by `partitions`, not by |df|
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val shardSize = math.max(1L, (n + nShards - 1) / nShards)
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    import spark.implicits._
+    // range partitions are emitted in key order, so partition i's rows own
+    // global positions [offsets(i), offsets(i+1))
+    sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var pos = bcOffsets.value(i)
+      it.map { r =>
+        val out = (r.getLong(0), (pos / shardSize).toInt, pos)
+        pos += 1
+        out
+      }
+    }.toDF(idCol, "shard", "pos")
+  }
+}

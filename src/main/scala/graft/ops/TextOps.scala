@@ -180,14 +180,40 @@ object TextOps {
       array_join(filter(ls, (x, i) => array_position(ls, x) === i + 1), sep)
     }
 
-  /** Deterministic content-hash bucket in [0, 100): the first 24 md5 bits
-    * of the content, mod 100. Stable across runs, partition layouts, AND
-    * engines (md5 is standardized), which is what makes it the right key
-    * for reproducible train/val/test splits — a `rand()` split changes
-    * membership on every re-run and re-partition.
+  /** Deterministic content-hash bucket in [0, buckets): the first 24 md5
+    * bits of the content, mod `buckets`. Stable across runs, partition
+    * layouts, AND engines (md5 is standardized) — the primitive behind
+    * reproducible splits and stratified sampling; a `rand()` decision is
+    * none of these.
     */
-  def splitBucket(c: Column): Column =
-    conv(substring(md5(c), 1, 6), 16, 10).cast("long") % 100
+  def hashBucket(c: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= (1 << 24),
+      s"buckets must be in (0, 2^24], got $buckets")
+    conv(substring(md5(c), 1, 6), 16, 10).cast("long") % buckets
+  }
+
+  /** Deterministic content-hash bucket in [0, 100) (see [[hashBucket]]). */
+  def splitBucket(c: Column): Column = hashBucket(c, 100)
+
+  /** Deterministic stratified down-sampling decision: keep the row iff its
+    * per-mille content bucket (salted by `seed`, so independent draws per
+    * pipeline) is below the stratum's rate. Corpus mixing in one map-side
+    * codegen'd pass — per-source/domain/language rates without a shuffle,
+    * reproducible across runs, partition layouts and engines, and
+    * content-stable: a re-crawled duplicate keeps the same fate.
+    * `ratesPerMille` maps stratum value → keep-rate in [0, 1000];
+    * unlisted strata default to `defaultPerMille`.
+    */
+  def sampleKeep(content: Column, stratum: Column, seed: String,
+                 ratesPerMille: Map[String, Int],
+                 defaultPerMille: Int = 0): Column = {
+    (ratesPerMille.values ++ Seq(defaultPerMille)).foreach(r =>
+      require(r >= 0 && r <= 1000, s"per-mille rate out of range: $r"))
+    val rate = ratesPerMille.foldRight(lit(defaultPerMille): Column) {
+      case ((k, r), acc) => when(stratum === lit(k), lit(r)).otherwise(acc)
+    }
+    bindOnce(hashBucket(concat_ws(":", lit(seed), content), 1000))(_ < rate)
+  }
 
   /** Reproducible corpus split label from the content-hash bucket:
     * buckets [0, trainPct) → "train", [trainPct, trainPct+valPct) → "val",

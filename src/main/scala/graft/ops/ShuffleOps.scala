@@ -35,6 +35,12 @@ object ShuffleOps {
   def globalShuffle(df: DataFrame, idCol: String, seed: String,
                     nShards: Int, partitions: Int = 0): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    // ids ride the indexing pass as longs; fail fast on a string-keyed
+    // corpus instead of mis-casting (hash the URL into a long id first)
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"globalShuffle requires a numeric id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString}")
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions

@@ -1,0 +1,270 @@
+import org.primeframework.transformer.domain.*;
+import org.primeframework.transformer.service.*;
+
+import java.lang.reflect.Field;
+import java.util.*;
+
+/** Golden-fixture generator: runs adversarial inputs through the reference
+  * implementation compiled as-is and emits JSONL rows in the repo's
+  * oracle_fixtures.jsonl schema (doc tree + offsets + attributeOffsets +
+  * strip + escape + escapeOffsets + escapeTotal).
+  */
+public class FixtureGen {
+
+  static String esc(String s) {
+    StringBuilder b = new StringBuilder(s.length() + 8);
+    for (int i = 0; i < s.length(); i++) {
+      char c = s.charAt(i);
+      if (c == '"') b.append("\\\"");
+      else if (c == '\\') b.append("\\\\");
+      else if (c == '\n') b.append("\\n");
+      else if (c == '\r') b.append("\\r");
+      else if (c == '\t') b.append("\\t");
+      else if (c < ' ') b.append(String.format("\\u%04x", (int) c));
+      else b.append(c);
+    }
+    return b.toString();
+  }
+
+  static String q(String s) { return s == null ? "null" : "\"" + esc(s) + "\""; }
+
+  static String nodeJson(Node n) {
+    if (n instanceof TextNode) {
+      TextNode t = (TextNode) n;
+      return "{\"t\":\"text\",\"begin\":" + t.begin + ",\"end\":" + t.end +
+        ",\"body\":" + q(t.getBody()) + "}";
+    }
+    TagNode t = (TagNode) n;
+    StringBuilder attrs = new StringBuilder("[");
+    boolean first = true;
+    for (Map.Entry<String, String> e : t.attributes.entrySet()) {
+      if (!first) attrs.append(",");
+      first = false;
+      attrs.append("[").append(q(e.getKey())).append(",").append(q(e.getValue())).append("]");
+    }
+    attrs.append("]");
+    StringBuilder kids = new StringBuilder("[");
+    first = true;
+    for (Node k : t.children) {
+      if (!first) kids.append(",");
+      first = false;
+      kids.append(nodeJson(k));
+    }
+    kids.append("]");
+    return "{\"t\":\"tag\",\"begin\":" + t.begin + ",\"end\":" + t.end +
+      ",\"nameEnd\":" + t.nameEnd + ",\"bodyBegin\":" + t.bodyBegin +
+      ",\"bodyEnd\":" + t.bodyEnd + ",\"name\":" + q(t.getName()) +
+      ",\"attribute\":" + q(t.attribute) + ",\"attributes\":" + attrs +
+      ",\"children\":" + kids + "}";
+  }
+
+  static String pairSet(Collection<Pair<Integer, Integer>> set) {
+    StringBuilder b = new StringBuilder("[");
+    boolean first = true;
+    for (Pair<Integer, Integer> p : set) {
+      if (!first) b.append(",");
+      first = false;
+      b.append("[").append(p.first).append(",").append(p.second).append("]");
+    }
+    return b.append("]").toString();
+  }
+
+  @SuppressWarnings("unchecked")
+  static Collection<Pair<Integer, Integer>> offsetPairs(Offsets o) throws Exception {
+    Field f = Offsets.class.getDeclaredField("offsets");
+    f.setAccessible(true);
+    return (Collection<Pair<Integer, Integer>>) f.get(o);
+  }
+
+  static Map<String, TagAttributes> canonical() {
+    Map<String, TagAttributes> m = new HashMap<>();
+    m.put("*", new TagAttributes(true, false, false, true));
+    m.put("code", new TagAttributes(false, true, false, true));
+    m.put("noparse", new TagAttributes(false, true, false, true));
+    m.put("emoji", new TagAttributes(false, false, true, true));
+    return m;
+  }
+
+  static Map<String, TagAttributes> nobr() {
+    Map<String, TagAttributes> m = canonical();
+    m.put("code", new TagAttributes(false, true, false, false));
+    m.put("noparse", new TagAttributes(false, true, false, false));
+    return m;
+  }
+
+  static int id = 401000;
+
+  static void emit(String parser, String config, String input,
+                   Map<String, TagAttributes> attrs) {
+    try {
+      Document doc = parser.equals("html")
+        ? new HTMLParser().buildDocument(input, attrs)
+        : new BBCodeParser().buildDocument(input, attrs);
+      String strip = new TextTransformer().transform(doc, t -> true, null, null);
+      Document doc2 = parser.equals("html")
+        ? new HTMLParser().buildDocument(input, attrs)
+        : new BBCodeParser().buildDocument(input, attrs);
+      Offsets off = new Offsets();
+      String escaped = new TextTransformer().transform(doc2, t -> true,
+        new Transformer.TransformFunction.HTMLTransformFunction(off, attrs), null);
+      System.out.println("{\"id\":" + (id++) + ",\"parser\":\"" + parser +
+        "\",\"config\":\"" + config + "\",\"input\":" + q(input) +
+        ",\"doc\":{\"children\":" + childrenJson(doc) +
+        ",\"offsets\":" + pairSet(doc.offsets) +
+        ",\"attributeOffsets\":" + pairSet(doc.attributeOffsets) + "}" +
+        ",\"strip\":" + q(strip) + ",\"escape\":" + q(escaped) +
+        ",\"escapeOffsets\":" + pairSet(offsetPairs(off)) +
+        ",\"escapeTotal\":" + off.total() + "}");
+    } catch (Throwable e) {
+      System.out.println("{\"id\":" + (id++) + ",\"error\":" +
+        q(e.getClass().getSimpleName() + ": " + String.valueOf(e.getMessage())) +
+        ",\"parser\":\"" + parser + "\",\"config\":\"" + config +
+        "\",\"input\":" + q(input) + "}");
+    }
+  }
+
+  static String childrenJson(Document d) {
+    StringBuilder b = new StringBuilder("[");
+    boolean first = true;
+    for (Node k : d.children) {
+      if (!first) b.append(",");
+      first = false;
+      b.append(nodeJson(k));
+    }
+    return b.append("]").toString();
+  }
+
+  public static void main(String[] args) {
+    List<String> inputs = new ArrayList<>();
+
+    // 1. tag-name torture: short/symbolic/mixed-case names and closers
+    String[] names = {"1", "-", "_", ".", "a1", "1a", "-x", "ab1", "_a_", "A", "bB"};
+    for (String n : names) {
+      inputs.add("[" + n + "]x[/" + n + "]");
+      inputs.add("[" + n + "]x");
+    }
+    inputs.add("[B]x[/b]"); inputs.add("[b]x[/B]"); inputs.add("[]x[/]");
+    inputs.add("[ ]x[/ ]"); inputs.add("[\tb]x");
+
+    // 2. quote/attribute torture beyond the earlier families
+    inputs.add("[img src='a\"b']x[/img]");
+    inputs.add("[t a='']x[/t]");
+    inputs.add("[t a=\" lead\"]x[/t]");
+    inputs.add("[t a=\"tr \"]x[/t]");
+    inputs.add("[t a=']']x[/t]");
+    inputs.add("[t a='['];x[/t]");
+    inputs.add("[t a=b c='d' e=\"f\"]x[/t]");
+    inputs.add("[t a='1' a='2']x[/t]");
+    inputs.add("[size='12']x[/size]");
+    inputs.add("[size= 12]x[/size]");
+    inputs.add("[size =12]x[/size]");
+    inputs.add("[size = 12]x[/size]");
+
+    // 3. same-tag stacks and wrong-order closers
+    for (int d : new int[]{3, 7, 20}) {
+      StringBuilder sb = new StringBuilder();
+      for (int i = 0; i < d; i++) sb.append("[b]");
+      sb.append("x");
+      for (int i = 0; i < d - 1; i++) sb.append("[/b]");
+      inputs.add(sb.toString());
+    }
+    inputs.add("[b][i]x[/b][/i]");
+    inputs.add("[b][i][u]x[/b][/i][/u]");
+    StringBuilder alt = new StringBuilder();
+    for (int i = 0; i < 10; i++) alt.append(i % 2 == 0 ? "[b]" : "[i]");
+    alt.append("y");
+    for (int i = 0; i < 10; i++) alt.append(i % 2 == 0 ? "[/b]" : "[/i]");
+    inputs.add(alt.toString());
+
+    // 4. standalone (emoji) interactions
+    inputs.add("[emoji]"); inputs.add("a[emoji]b"); inputs.add("[emoji][/emoji]");
+    inputs.add("[emoji=5]"); inputs.add("[emoji a=\"1\"]");
+    inputs.add("[list][*][emoji][/list]");
+    inputs.add("[code][emoji][/code]");
+    inputs.add("[emoji][emoji][emoji]");
+    inputs.add("[b][emoji][/b]");
+
+    // 5. escape-dense inputs (CRLF/LFCR boundary machinery)
+    String[] escCore = {"&", "<", ">", "\"", "&<>\"", "\r\n", "\n\r", "\r", "\n",
+      "\r\r\n\n", "&\r\n<\n\r>\"", "x\r", "\r\nx", "&&&&&&&", "<<<<",
+      "\"\r\n\"", "a&b<c>d\"e\r\nf\n\rg\rh\ni"};
+    for (String e : escCore) {
+      inputs.add(e);
+      inputs.add("[b]" + e + "[/b]");
+      inputs.add("[code]" + e + "[/code]");
+    }
+    StringBuilder dense = new StringBuilder();
+    for (int i = 0; i < 32; i++) dense.append("&<>\"\r\n");
+    inputs.add(dense.toString());
+
+    // 6. [*] boundary torture
+    inputs.add("[*]"); inputs.add("x[*]y"); inputs.add("[list][*]");
+    inputs.add("[*][*][*]");
+    inputs.add("[list][*][list][*][/list][/list]");
+    inputs.add("[list][*]a[*]b[/list][*]");
+    inputs.add("[list][*][/list]");
+    inputs.add("[list][*]a[/list][list][*]b[/list]");
+
+    // 7. control characters adjacent to tag machinery
+    inputs.add("a b");
+    inputs.add("[b][/b]");
+    inputs.add("[b]x[/b]");
+    inputs.add("[b ]x");
+    inputs.add("abc");
+
+    // 8. long-attribute offset arithmetic
+    StringBuilder lv = new StringBuilder();
+    for (int i = 0; i < 160; i++) lv.append("v[]= ");
+    inputs.add("[t a=\"" + lv + "\"]x[/t]");
+    StringBuilder wv = new StringBuilder();
+    for (int i = 0; i < 800; i++) wv.append("w");
+    inputs.add("[t a=" + wv + "]x[/t]");
+    StringBuilder pre = new StringBuilder();
+    for (int i = 0; i < 500; i++) pre.append("padding. ");
+    inputs.add(pre + "[size=9]tail[/size]");
+
+    // 9. HTML-specific new families
+    inputs.add("<input disabled checked readonly>");
+    inputs.add("<a href=foo\"bar>x</a>");
+    inputs.add("<!-- x");
+    inputs.add("<!-- -- > y");
+    inputs.add("<script>a</scr</script>b");
+    inputs.add("<![CDATA[x]]>");
+    inputs.add("<!DOCTYPE html><p>x</p>");
+    inputs.add("<textarea><b>x</b></textarea>");
+    inputs.add("<div class=\"a\" class=\"b\">x</div>");
+    inputs.add("<br/><br />");
+    inputs.add("<p style=\"a:b;c:d\">x</p>");
+    inputs.add("<a ><b>x</b></a >");
+    inputs.add("<a");
+    inputs.add("<<a>>x<</a>>");
+    inputs.add("<a\nhref='u'>x</a>");
+
+    // 10. seeded random soup over a fresh token alphabet
+    Random rnd = new Random(20260817L);
+    String[] toks = {"[b]", "[/b]", "[*]", "[list]", "[/list]", "[code]",
+      "[/code]", "\\", "\"", "=", "]", "[", "\n", "\r\n", "[emoji]", "x",
+      " ", "[i]", "[/i]", "&", "<", ">", "[noparse]", "[/noparse]", "'"};
+    for (int s = 0; s < 40; s++) {
+      int len = 5 + rnd.nextInt(36);
+      StringBuilder sb = new StringBuilder();
+      for (int i = 0; i < len; i++) sb.append(toks[rnd.nextInt(toks.length)]);
+      inputs.add(sb.toString());
+    }
+
+    // de-dup preserving order, then emit per config matrix
+    LinkedHashSet<String> uniq = new LinkedHashSet<>(inputs);
+    Map<String, TagAttributes> canon = canonical();
+    Map<String, TagAttributes> none = new HashMap<>();
+    Map<String, TagAttributes> nb = nobr();
+    for (String in : uniq) {
+      emit("bbcode", "canonical", in, canon);
+      emit("bbcode", "empty", in, none);
+      if (in.contains("\n") || in.contains("\r")) emit("bbcode", "nobr", in, nb);
+      if (in.contains("<")) {
+        emit("html", "empty", in, none);
+        emit("html", "canonical", in, canon);
+      }
+    }
+  }
+}

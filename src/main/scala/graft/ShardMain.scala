@@ -88,6 +88,16 @@ object ShardMain {
     val sharded = kept.join(placed, idCol)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "pos")
+    if (sharded.isEmpty) {
+      // an empty keep set (tiny corpus × aggressive --sample-mille) must
+      // not poison the output: partitionBy would write NO parquet files
+      // (only _SUCCESS), the marker would commit, and every relaunch would
+      // die in schema inference. Write the empty frame UNpartitioned —
+      // parquet keeps the schema, reads back as 0 rows — and report it.
+      sharded.write.mode("overwrite").parquet(out)
+      fs.create(marker, true).close()
+      return Stats(docsIn, 0L, 0, skipped = false)
+    }
     sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
     fs.create(marker, true).close()
     val written = spark.read.parquet(out)

@@ -1541,7 +1541,7 @@ object SparkEntry {
         |o AS (SELECT doc_id,
         |        row_number() OVER (ORDER BY hk, doc_id) - 1 AS pos FROM k)
         |SELECT o.doc_id,
-        |  cast(o.pos // greatest(1, (n.cnt + 7) // 8) AS int) AS shard,
+        |  cast(o.pos * 8 // greatest(1, n.cnt) AS int) AS shard,
         |  cast(o.pos AS bigint) AS pos
         |FROM o, n ORDER BY o.doc_id""".stripMargin,
 

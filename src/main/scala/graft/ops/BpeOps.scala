@@ -261,9 +261,19 @@ object BpeOps {
         val ms = bc.value
         val memo = new java.util.HashMap[String, Array[String]]()
         it.map { case (id, t) =>
-          val trimmed = t.trim
+          // EXACT mirror of TextOps.tokens: Spark's trim strips only 0x20
+          // (Java's String.trim strips all <= 0x20 incl. \n\t\r, which
+          // would silently drop the trailing-empty token the train-side
+          // stream counts on "low\n") and split keeps trailing empties
+          val trimmed = {
+            var a = 0; var b = t.length
+            while (a < b && t.charAt(a) == ' ') a += 1
+            while (b > a && t.charAt(b - 1) == ' ') b -= 1
+            t.substring(a, b)
+          }
           val words =
-            if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
+            if (trimmed.isEmpty) Array.empty[String]
+            else trimmed.split("\\s+", -1)
           var nPieces = 0L
           val preview = new scala.collection.mutable.ArrayBuffer[String]()
           words.foreach { w =>

@@ -843,13 +843,24 @@ object DedupOps {
     * the train shingles are de-duplicated per doc (hit counting); with
     * `pos` every occurrence is kept (audit spans).
     */
-  private def contaminationJoined(train: DataFrame, bench: DataFrame,
-                                  idCol: String, textCol: String,
-                                  k: Int, hashed: Boolean,
-                                  benchBroadcastLimit: Long,
-                                  withPos: Boolean = false): DataFrame = {
+  /** The guarded bench side shared by every decontamination operator:
+    * distinct (possibly xxhash64-keyed) shingle set, computed ONCE and
+    * cached (persist, NOT checkpoint: lineage stays intact, so a lost
+    * executor recomputes the blocks instead of failing the job — these
+    * operators are pitched at cluster scale; the guard count and the join
+    * read the same cached blocks, and on the shuffle-join fallback the
+    * cache saves a second corpus-scale aggregation). The broadcast hint
+    * applies only below `benchBroadcastLimit` rows, with a type-aware
+    * default (5×10⁷ 8-byte hashed keys ~0.4 GB; 5×10⁶ k-word strings —
+    * 5×10⁷ of them would blow Spark's 8 GB broadcast ceiling). `-1` =
+    * auto, `0` = never broadcast, positive = explicit row limit. The
+    * cache is released by Spark's ContextCleaner when the frame is GC'd.
+    */
+  private def benchShingleSide(bench: DataFrame, textCol: String, k: Int,
+                               hashed: Boolean,
+                               benchBroadcastLimit: Long,
+                               caller: String): DataFrame = {
     def key(c: Column): Column = if (hashed) xxhash64(c) else c
-    // type-aware default: string keys are ~10x the bytes of hashed longs
     require(benchBroadcastLimit >= -1,
       s"benchBroadcastLimit must be -1 (auto), 0 (never broadcast), or a " +
         s"positive row limit; got $benchBroadcastLimit")
@@ -857,27 +868,30 @@ object DedupOps {
       if (benchBroadcastLimit >= 0) benchBroadcastLimit
       else if (hashed) 50000000L
       else 5000000L
-    // The distinct-shingle aggregate is computed ONCE and cached (persist,
-    // NOT checkpoint: lineage stays intact, so a lost executor recomputes
-    // the blocks instead of failing the job — this operator is pitched at
-    // cluster scale): the guard count and the join both read the cached
-    // blocks. The cache is released by Spark's ContextCleaner when the
-    // frame is GC'd; on the shuffle-join fallback path the same cache
-    // saves a second corpus-scale aggregation of the oversized bench side.
     val benchSet = bench
       .select(explode(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
       .select(key(col("s")).as("sh"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val benchRows = benchSet.count()
+    if (benchRows <= limit) broadcast(benchSet)
+    else {
+      org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
+        s"$caller: bench shingle set has $benchRows distinct k-grams > " +
+          s"broadcast limit $limit — falling back to a shuffle join")
+      benchSet
+    }
+  }
+
+  private def contaminationJoined(train: DataFrame, bench: DataFrame,
+                                  idCol: String, textCol: String,
+                                  k: Int, hashed: Boolean,
+                                  benchBroadcastLimit: Long,
+                                  withPos: Boolean = false): DataFrame = {
+    def key(c: Column): Column = if (hashed) xxhash64(c) else c
     val benchJoinSide =
-      if (benchRows <= limit) broadcast(benchSet)
-      else {
-        org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
-          s"contamination: bench shingle set has $benchRows distinct k-grams > " +
-            s"broadcast limit $limit — falling back to a shuffle join")
-        benchSet
-      }
+      benchShingleSide(bench, textCol, k, hashed, benchBroadcastLimit,
+        "contamination")
     val trainRows =
       if (withPos)
         keyedPositionedShingles(train, idCol, textCol, k, hashed)
@@ -1126,8 +1140,11 @@ object DedupOps {
     * reducer). Only LOSING occurrences join back: per doc, the sorted
     * array of dropped line indices — bytes proportional to duplicated
     * lines, not to the corpus — under the same guarded-broadcast idiom as
-    * [[contamination]] (explicit broadcast below `loserBroadcastLimit`
-    * docs-with-losses rows; un-hinted shuffle join above it). Docs with no
+    * [[contamination]] (explicit broadcast while the TOTAL lost-index
+    * count — the actual broadcast payload, ~4 B per index — is below
+    * `loserBroadcastLimit`; un-hinted shuffle join above it. Rows are the
+    * wrong unit here: each doc row carries a variable-length index
+    * array). Docs with no
     * duplicated line pass through map-side untouched, and the rebuild is a
     * codegen'd index filter against the doc's own split array.
     */
@@ -1148,19 +1165,30 @@ object DedupOps {
       .groupBy(col("__id"))
       .agg(sort_array(collect_list(col("__idx"))).as("__lost"))
       .localCheckpoint(true)
-    val nLosers = lost.count()
-    val joinSide = if (nLosers <= loserBroadcastLimit) broadcast(lost) else lost
+    // the guard must bound broadcast BYTES, and each row carries a
+    // variable-length index array — so it counts total lost line indices
+    // (~4 B each), not docs-with-losses rows (a boilerplate-heavy crawl
+    // has few rows each holding thousands of indices; a row-count guard
+    // would happily broadcast 40 GB into the 8 GB ceiling)
+    val totalLostIdx = lost.agg(sum(size(col("__lost")))).collect()(0).get(0) match {
+      case null => 0L
+      case v: Long => v
+    }
+    val joinSide = if (totalLostIdx <= loserBroadcastLimit) broadcast(lost) else lost
     val rebuilt = df.join(joinSide, df(idCol) === joinSide("__id"), "left")
       .withColumn("__lostArr", coalesce(col("__lost"), array().cast("array<int>")))
     rebuilt.select(col(idCol).as("id"),
         TextOps.bindOnce(split(col(textCol), sepLit)) { ls =>
           TextOps.bindOnce(col("__lostArr")) { la =>
-            array_join(filter(ls, (x, i) => !array_contains(la, i)), sep)
+            struct(
+              array_join(filter(ls, (x, i) => !array_contains(la, i)), sep)
+                .as("cleaned"),
+              size(ls).cast("int").as("n_before"),
+              (size(ls) - size(la)).cast("int").as("n_after"))
           }
-        }.as("cleaned"),
-        size(split(col(textCol), sepLit)).cast("int").as("n_before"),
-        (size(split(col(textCol), sepLit)) - size(col("__lostArr"))).cast("int")
-          .as("n_after"))
+        }.as("__r"))
+      .select(col("id"), col("__r.cleaned").as("cleaned"),
+        col("__r.n_before").as("n_before"), col("__r.n_after").as("n_after"))
   }
 
   /** Benchmark-contamination OVERLAP RATIO — the thresholded form real
@@ -1185,28 +1213,11 @@ object DedupOps {
                          benchBroadcastLimit: Long = -1L): DataFrame = {
     require(thresholdPct >= 0 && thresholdPct <= 100,
       s"thresholdPct must be in [0, 100], got $thresholdPct")
-    require(benchBroadcastLimit >= -1,
-      s"benchBroadcastLimit must be -1 (auto), 0 (never broadcast), or a " +
-        s"positive row limit; got $benchBroadcastLimit")
     def key(c: Column): Column = if (hashed) xxhash64(c) else c
-    val limit =
-      if (benchBroadcastLimit >= 0) benchBroadcastLimit
-      else if (hashed) 50000000L
-      else 5000000L
-    val benchSet = bench
-      .select(explode(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
-      .select(key(col("s")).as("sh"), lit(1).as("__hit"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val benchRows = benchSet.count()
     val benchJoinSide =
-      if (benchRows <= limit) broadcast(benchSet)
-      else {
-        org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
-          s"contaminationRatio: bench shingle set has $benchRows distinct k-grams > " +
-            s"broadcast limit $limit — falling back to a shuffle join")
-        benchSet
-      }
+      benchShingleSide(bench, textCol, k, hashed, benchBroadcastLimit,
+        "contaminationRatio")
+        .withColumn("__hit", lit(1))
     train.select(col(idCol).as("id"),
         explode_outer(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
       .select(col("id"), when(col("s").isNotNull, key(col("s"))).as("sh"))

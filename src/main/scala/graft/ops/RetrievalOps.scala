@@ -65,7 +65,7 @@ object RetrievalOps {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).cast("long").as("doc_id"),
         explode(TextOps.tokens(lower(col(textCol)))).as("token"))
-      .groupBy("token", "doc_id").agg(count(lit(1)).as("__tf"))
+      .distinct() // same hash-agg plan shape as a groupBy, no dead counter
       .groupBy("token")
       .agg(count(lit(1)).as("df"),
         expr(s"topk_by_score(-cast(doc_id as double), doc_id, $maxPostings)")

@@ -15,7 +15,8 @@ object ShuffleOps {
 
   /** Globally shuffle by the md5 of `seed:id` and assign each row a stable
     * global position `pos` in [0, N) plus a contiguous shard id
-    * `pos div ceil(N/nShards)` — the layout a sharded training-data writer
+    * `pos * nShards div N` (exactly min(nShards, N) shards, sizes within
+    * one of each other) — the layout a sharded training-data writer
     * consumes directly.
     *
     * Scale shape (the two-phase total-order idiom): range-partition by the
@@ -35,11 +36,15 @@ object ShuffleOps {
   def globalShuffle(df: DataFrame, idCol: String, seed: String,
                     nShards: Int, partitions: Int = 0): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    // ids ride the indexing pass as longs; fail fast on a string-keyed
-    // corpus instead of mis-casting (hash the URL into a long id first)
-    require(df.schema(idCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"globalShuffle requires a numeric id column; '$idCol' is " +
+    // ids ride the indexing pass as longs; fail fast on a string-keyed OR
+    // fractional corpus instead of mis-casting (a double id would hash on
+    // "5.3" but return the truncated 5 — hash the key into a long first)
+    require({
+        import org.apache.spark.sql.types._
+        Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(idCol).dataType)
+      },
+      s"globalShuffle requires an integral id column; '$idCol' is " +
         s"${df.schema(idCol).dataType.simpleString}")
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
@@ -56,15 +61,20 @@ object ShuffleOps {
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val n = offsets.last
-    val shardSize = math.max(1L, (n + nShards - 1) / nShards)
     val bcOffsets = spark.sparkContext.broadcast(offsets)
     import spark.implicits._
-    // range partitions are emitted in key order, so partition i's rows own
-    // global positions [offsets(i), offsets(i+1))
+    // shard = pos * nShards / N (exact proportional split): produces
+    // EXACTLY min(nShards, N) contiguous shards with sizes differing by at
+    // most one — the naive pos / ceil(N/nShards) can leave trailing shard
+    // ids empty (N=100, 64 shards → only 50 dirs), which breaks loaders
+    // configured for the requested shard count. Overflow-safe to
+    // N·nShards < 2^63 (10^12 rows × 10^4 shards is 10^16).
+    // Range partitions are emitted in key order, so partition i's rows own
+    // global positions [offsets(i), offsets(i+1)).
     sorted.rdd.mapPartitionsWithIndex { (i, it) =>
       var pos = bcOffsets.value(i)
       it.map { r =>
-        val out = (r.getLong(0), (pos / shardSize).toInt, pos)
+        val out = (r.getLong(0), (pos * nShards / math.max(1L, n)).toInt, pos)
         pos += 1
         out
       }

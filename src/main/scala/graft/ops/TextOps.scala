@@ -202,7 +202,10 @@ object TextOps {
     * reproducible across runs, partition layouts and engines, and
     * content-stable: a re-crawled duplicate keeps the same fate.
     * `ratesPerMille` maps stratum value → keep-rate in [0, 1000];
-    * unlisted strata default to `defaultPerMille`.
+    * unlisted strata default to `defaultPerMille`. NULL content is
+    * dropped: `concat_ws` would otherwise collapse every null-content row
+    * into the single bucket of md5(seed) and keep or drop the whole null
+    * class wholesale — and a null-content doc is not trainable anyway.
     */
   def sampleKeep(content: Column, stratum: Column, seed: String,
                  ratesPerMille: Map[String, Int],
@@ -212,7 +215,8 @@ object TextOps {
     val rate = ratesPerMille.foldRight(lit(defaultPerMille): Column) {
       case ((k, r), acc) => when(stratum === lit(k), lit(r)).otherwise(acc)
     }
-    bindOnce(hashBucket(concat_ws(":", lit(seed), content), 1000))(_ < rate)
+    content.isNotNull &&
+      bindOnce(hashBucket(concat_ws(":", lit(seed), content), 1000))(_ < rate)
   }
 
   /** Reproducible corpus split label from the content-hash bucket:

@@ -41,8 +41,8 @@ class ShardMainSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(rows.map(_._1).toSet == (0L until 150L).toSet, "every doc exactly once")
     assert(rows.map(_._3).sorted.toSeq == (0L until 150L).toSeq, "pos is a permutation")
-    val shardSize = (150 + 7) / 8
-    assert(rows.forall { case (_, sh, pos) => sh == pos / shardSize })
+    assert(rows.forall { case (_, sh, pos) => sh == pos * 8 / 150 })
+    assert(rows.map(_._2).distinct.sorted.toSeq == (0 until 8), "all 8 shards present")
     assert(new java.io.File(s"$out/_COMMITTED").exists)
     // relaunch after success: reporting no-op, nothing rewritten
     val mtime = new java.io.File(out).lastModified
@@ -78,6 +78,19 @@ class ShardMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     val k700 = keptIds("700")
     assert(k300.size < 200 && k700.size < 200 && k300.size < k700.size)
     assert(k300.subsetOf(k700), "hash-threshold samples must nest")
+  }
+
+  test("an empty keep set commits a readable empty output, not a poisoned dir") {
+    val in = writeCorpus(20)
+    val out = java.nio.file.Files.createTempDirectory("graft_sm_e").toString + "/s"
+    val s1 = ShardMain.run(spark, Map("in" -> in, "out" -> out, "shards" -> "4",
+      "sample-mille" -> "0"))
+    assert(!s1.skipped && s1.docsIn == 20 && s1.docsKept == 0 && s1.shards == 0)
+    // the output reads back (schema preserved) and a relaunch is a no-op
+    assert(spark.read.parquet(out).count() == 0)
+    val s2 = ShardMain.run(spark, Map("in" -> in, "out" -> out, "shards" -> "4",
+      "sample-mille" -> "0"))
+    assert(s2.skipped && s2.docsKept == 0)
   }
 
   test("unknown flags and bad rates fail before any work") {

@@ -101,6 +101,14 @@ class RetrievalShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(evens > odds, s"rate 500 stratum ($evens) should keep more than rate 100 ($odds)")
   }
 
+  test("sampleKeep drops null content instead of bucketing the whole null class together") {
+    val rows = Seq((0L, "body zero"), (1L, null: String), (2L, "body two"), (3L, null: String))
+    val d = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val kept = d.filter(TextOps.sampleKeep(col("text"), lit("all"), "s", Map("all" -> 1000)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L), "null-content rows are dropped even at rate 1000")
+  }
+
   test("sampleKeep: a kept doc stays kept when rate rises (nested samples)") {
     val d = df((0L until 200L).map(i => (i, s"document body $i")))
     val strat = lit("all")
@@ -128,8 +136,26 @@ class RetrievalShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = (0L until n.toLong).sortBy(i => (md5hex(s"seed7:$i"), i))
     val byPos = out.sortBy(_._3).map(_._1)
     assert(byPos.toSeq == expected.toSeq)
-    val shardSize = (n + 3) / 4
-    assert(out.forall { case (_, sh, pos) => sh == pos / shardSize })
+    assert(out.forall { case (_, sh, pos) => sh == pos * 4 / n })
+    assert(out.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3),
+      "exactly nShards shards, no trailing empties")
+  }
+
+  test("globalShuffle yields exactly nShards shards even when ceil division would not") {
+    // the pos / ceil(N/nShards) formula gives only 50 shards here (N=100,
+    // nShards=64, ceil=2); the proportional formula must give all 64
+    val d = df((0L until 100L).map(i => (i, s"t$i")))
+    val shards = ShuffleOps.globalShuffle(d, "doc_id", "s", nShards = 64)
+      .select("shard").collect().map(_.getInt(0)).distinct
+    assert(shards.sorted.toSeq == (0 until 64), s"got ${shards.length} shards")
+  }
+
+  test("globalShuffle rejects fractional id types instead of truncating") {
+    val d = spark.createDataFrame(Seq((1.5, "a"), (2.5, "b"))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      ShuffleOps.globalShuffle(d, "doc_id", "s", nShards = 2)
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("globalShuffle is independent of the partition count") {
@@ -230,22 +256,26 @@ class RetrievalShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- bpeEncodeDocs ------------------------------------------------------
 
-  test("bpeEncodeDocs matches per-word bpeSegment composition") {
+  test("bpeEncodeDocs matches per-word bpeSegment composition (incl. whitespace edges)") {
     val corpus = df(Seq(
       (0L, "low low low lower lowest"),
       (1L, "new newer newest new"),
       (2L, ""),
-      (3L, "low new low new")))
+      (3L, "low new low new"),
+      (4L, "low\n"), // trailing newline: TextOps.tokens yields a trailing "" token
+      (5L, "\tnew low ")))
     val merges = BpeOps.bpeTrain(corpus, "text", numMerges = 10, minFreq = 2)
     assert(merges.nonEmpty)
     val out = BpeOps.bpeEncodeDocs(corpus, "doc_id", "text", merges, previewPieces = 4)
       .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    // the tokenization reference is TextOps.tokens itself — the train-side
+    // stream the encode pass must stay consistent with
+    val sparkToks = corpus
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
     corpus.collect().foreach { row =>
       val id = row.getLong(0)
-      val words = row.getString(1).trim match {
-        case "" => Array.empty[String]
-        case s => s.toLowerCase.split("\\s+")
-      }
+      val words = sparkToks(id)
       val pieces = words.flatMap(w => BpeOps.bpeSegment(w, merges))
       val (nW, nP, prev) = out(id)
       assert(nW == words.length, s"doc $id word count")

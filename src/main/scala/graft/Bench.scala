@@ -46,6 +46,9 @@ object Bench {
     "q_html_strip_constructed" -> 0.8, "q_inverted_index" -> 2.2, "q_join_segment_sales" -> 1.0,
     "q_json_events" -> 1.7, "q_langid_ngram" -> 1.1, "q_media_features" -> 0.5,
     "q_media_frames" -> 0.6, "q_media_resize" -> 0.5, "q_pack_chunks" -> 0.7,
+    "q_pdf_extract" -> 9.9, "q_conv_stats" -> 1.5, "q_conv_filter" -> 1.5,
+    "q_conv_render" -> 1.5, "q_budget_select" -> 1.5, "q_source_cap" -> 1.5,
+    "q_mix_temperature" -> 1.5,
     "q_percentiles" -> 0.6, "q_pipeline_assembly" -> 1.7, "q_pipeline_errors" -> 0.5,
     "q_pipeline_extract" -> 0.6, "q_pipeline_html" -> 0.6, "q_pipeline_offsets" -> 0.6,
     "q_pretrain_e2e" -> 26.2, "q_render_constructed" -> 0.7, "q_rollup_orders" -> 1.1,

@@ -63,6 +63,15 @@ object PlanDump {
     dump("dup_spans_skew_safe",
       DedupOps.duplicateSpans(docs, "doc_id", "text", k = 5, skewSafe = true))
     dump("pretrain_e2e_final_stage", SparkEntry.queries("q_pretrain_e2e")(spark, sf))
+    // round-5 second half: PDF extraction must stay shuffle-free above the
+    // scan (both stages are mapPartitions); conversation stats must plan as
+    // hash aggregates + one near-unique-key join, with no Window operator.
+    dump("pdf_extract", graft.ops.PdfOps.extractText(
+      graft.ops.PdfOps.synthesize(docs)).toDF())
+    dump("conv_stats", graft.pipeline.ConvOps.convStats(
+      docs.selectExpr("cast(doc_id % 40 as string) as conv_id",
+        "cast(doc_id div 40 as int) as turn_idx", "'user' as role",
+        "text", "'none' as tool")))
     spark.stop()
   }
 }

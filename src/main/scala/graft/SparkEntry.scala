@@ -1,8 +1,8 @@
 package graft
 
 import graft.core.{TagAttributes => CoreTagAttributes}
-import graft.ops.{DedupOps, JoinOps, MediaOps, PackOps, RetrievalOps, ShuffleOps, SimOps, TextOps}
-import graft.pipeline.{ConvAssembly, ExtractJob, SpanLineage, TranscriptGen, Turn, Udfs}
+import graft.ops.{CurateOps, DedupOps, JoinOps, MediaOps, PackOps, PdfOps, RetrievalOps, ShuffleOps, SimOps, TextOps}
+import graft.pipeline.{ConvAssembly, ConvOps, ExtractJob, SpanLineage, TranscriptGen, Turn, Udfs}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -69,6 +69,24 @@ object SparkEntry {
       lit("none").as("tool"),
       lit("2024-01-01 00:00:00").cast("timestamp").as("ts")
     ).as[Turn](Encoders.product[Turn])
+
+  /** Deterministic conversation table for the conversation-level quality
+    * operators, shaped so the stats are non-trivial AND SQL-derivable:
+    * role = index ((turn_idx) * (1 + conv % 2)) % 4 into
+    * [user, assistant, assistant, tool] — odd conversations alternate
+    * user/assistant cleanly (0 violations), even ones repeat assistant
+    * once per cycle (violations > 0); every 7th doc is an empty turn.
+    */
+  private def convTurns(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      concat(lit("c"), lpad((col("doc_id") % 40).cast("string"), 2, "0")).as("conv_id"),
+      expr("cast(doc_id div 40 as int)").as("turn_idx"),
+      element_at(
+        array(lit("user"), lit("assistant"), lit("assistant"), lit("tool")),
+        expr("cast(((doc_id div 40) * (1 + (doc_id % 40) % 2)) % 4 as int)") + 1).as("role"),
+      when(col("doc_id") % 7 === 0, lit("")).otherwise(col("text")).as("text"),
+      when(expr("((doc_id div 40) * (1 + (doc_id % 40) % 2)) % 4 = 3"),
+        lit("search")).otherwise(lit("none")).as("tool"))
 
   /** Planted-twin ANN queries: vec_id+100000 with the first coordinate
     * perturbed by +0.001 — organic max cosine in this corpus is 0.51, the
@@ -681,6 +699,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus curation: budget, caps, temperature mixing ----------------
+    "q_budget_select" -> ((s, dir) => {
+      // token-budget selection in priority order (longest docs first):
+      // two-phase range partition + broadcast prefix offsets — NOT
+      // sum() OVER (ORDER BY ...), which plans as ONE partition
+      CurateOps.budgetSelect(docs(s, dir), "doc_id",
+          priority = length(col("text")),
+          tokenCount = TextOps.tokenCount(col("text")), budget = 50000L)
+        .orderBy("doc_id")
+    }),
+
+    "q_source_cap" -> ((s, dir) => {
+      // per-source document cap via the bounded-heap topk_by_score
+      // aggregate (O(n) state both sides of the exchange); composite
+      // score length*2^20 - doc_id is tie-free and double-exact
+      CurateOps.capPerGroup(docs(s, dir), "doc_id", "source",
+          score = length(col("text")).cast("double") * lit(1048576.0)
+            - col("doc_id").cast("double"), n = 5)
+        .orderBy("source", "rank")
+    }),
+
+    "q_mix_temperature" -> ((s, dir) => {
+      // temperature-weighted source mixing (alpha=0.5): skewed groups by
+      // construction (g3 holds 13/16 of the corpus), per-group rate
+      // floor(1000*sqrt(n_min/n)) — sqrt is IEEE-correctly-rounded in
+      // both engines, so the oracle is bit-exact; keep decision is the
+      // salted content-hash mille bucket
+      CurateOps.mixByTemperature(
+          docs(s, dir).withColumn("grp",
+            concat(lit("g"), least(col("doc_id") % 16, lit(3)).cast("string"))),
+          "doc_id", "text", "grp", alpha = 0.5, seed = "mixT")
+        .orderBy("doc_id")
+    }),
+
     "q_docs_shuffle" -> ((s, dir) => {
       // deterministic global shuffle + sharding: stable position by
       // md5("s42:"||id) order via the two-phase total-order idiom (range
@@ -999,6 +1051,43 @@ object SparkEntry {
         .select(col("media_id"), col("doc_id"), col("frame_idx"),
           length(col("frame_payload")).cast("long").as("n_bytes"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // ---- conversation-level quality (transcript payload) ------------------
+    "q_conv_stats" -> ((s, dir) => {
+      // all hash aggs + one near-unique-key successor join — no window
+      // over conv_id anywhere (a monster conversation stays distributed)
+      ConvOps.convStats(convTurns(s, dir)).orderBy("conv_id")
+    }),
+
+    "q_conv_filter" -> ((s, dir) => {
+      // the conversation-level gate: enough turns, clean role alternation,
+      // bounded empty share — only odd conversations alternate cleanly
+      ConvOps.convFilter(convTurns(s, dir), minTurns = 3, maxViolations = 0,
+          maxEmptyPct = 25)
+        .select("conv_id", "n_turns", "n_violations", "n_empty")
+        .orderBy("conv_id")
+    }),
+
+    "q_conv_render" -> ((s, dir) => {
+      // chat-template render: stable in-array ordering, role tags — the
+      // oracle rebuilds the exact string with ORDER BY string_agg
+      ConvOps.renderChatTemplate(convTurns(s, dir)).orderBy("conv_id")
+    }),
+
+    "q_pdf_extract" -> ((s, dir) => {
+      // PDF/layout-parse leg end-to-end: each doc renders to a real PDF on
+      // the executors (variant by doc_id%4 — literal/Td, Flate+hex,
+      // compressed two-column emitted out of reading order, TJ-kerning
+      // spaces), then the from-scratch parser recovers reading-order text.
+      // wrap() breaks only at single spaces, so newline→space inverts the
+      // wrap exactly and the oracle is the source column itself — a lost
+      // line, swapped column, missed kern-space, or escape bug all break
+      // the hash. Both stages are mapPartitions: zero shuffles.
+      PdfOps.extractText(PdfOps.synthesize(docs(s, dir))).toDF()
+        .select(col("doc_id"), col("variant"),
+          translate(col("extracted"), "\n", " ").as("roundtrip"))
+        .orderBy("doc_id")
     }),
 
     "x_bpe_merges" -> ((s, dir) => {
@@ -1534,6 +1623,35 @@ object SparkEntry {
         |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 500 WHEN 1 THEN 200 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
 
+    "q_budget_select" ->
+      """WITH t AS (SELECT doc_id, length(text) AS pri,
+        |    cast(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS bigint) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY pri DESC, doc_id) AS cum_tokens FROM t)
+        |SELECT doc_id, n_tokens, cast(cum_tokens AS bigint) AS cum_tokens
+        |FROM o WHERE cum_tokens <= 50000 ORDER BY doc_id""".stripMargin,
+
+    "q_source_cap" ->
+      """SELECT source, doc_id, cast(rn AS int) AS rank FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY length(text) DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    'g' || cast(least(doc_id % 16, 3) AS varchar) AS grp FROM documents),
+        |c AS (SELECT grp, count(*) AS n_src FROM d GROUP BY grp),
+        |m AS (SELECT min(n_src) AS n_min FROM c),
+        |r AS (SELECT grp, cast(floor(1000.0 * sqrt(cast(n_min AS double) / n_src)) AS int)
+        |        AS rate_mille FROM c, m)
+        |SELECT d.doc_id, d.grp, r.rate_mille
+        |FROM d JOIN r ON d.grp = r.grp
+        |WHERE ('0x' || substr(md5('mixT:' || d.text), 1, 6))::BIGINT % 1000 < r.rate_mille
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_docs_shuffle" ->
       """WITH k AS (SELECT doc_id, md5('s42:' || cast(doc_id AS varchar)) AS hk
         |           FROM documents),
@@ -1907,6 +2025,64 @@ object SparkEntry {
         |       WHEN fr = greatest(en, de, fr, es) THEN 'fr'
         |       ELSE 'es' END AS lang_ngram
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_conv_stats" ->
+      """WITH ct AS (SELECT 'c' || lpad(cast(doc_id % 40 AS varchar), 2, '0') AS conv_id,
+        |    cast(doc_id // 40 AS int) AS turn_idx,
+        |    CASE cast(((doc_id // 40) * (1 + (doc_id % 40) % 2)) % 4 AS int)
+        |      WHEN 0 THEN 'user' WHEN 3 THEN 'tool' ELSE 'assistant' END AS role,
+        |    CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END AS text,
+        |    CASE WHEN ((doc_id // 40) * (1 + (doc_id % 40) % 2)) % 4 = 3
+        |      THEN 'search' ELSE 'none' END AS tool
+        |  FROM documents),
+        |v AS (SELECT a.conv_id, count(*) AS n_violations
+        |  FROM ct a JOIN ct b
+        |    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1 AND a.role = b.role
+        |  GROUP BY a.conv_id)
+        |SELECT ct.conv_id, count(*) AS n_turns,
+        |  cast(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS bigint) AS n_user,
+        |  cast(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS bigint) AS n_assistant,
+        |  cast(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS bigint) AS n_tool_role,
+        |  cast(sum(CASE WHEN tool <> 'none' AND tool <> '' THEN 1 ELSE 0 END) AS bigint) AS n_tool_calls,
+        |  cast(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS bigint) AS n_empty,
+        |  cast(sum(length(text)) AS bigint) AS total_chars,
+        |  cast(coalesce(any_value(v.n_violations), 0) AS bigint) AS n_violations
+        |FROM ct LEFT JOIN v ON ct.conv_id = v.conv_id
+        |GROUP BY ct.conv_id ORDER BY ct.conv_id""".stripMargin,
+
+    "q_conv_filter" ->
+      """WITH ct AS (SELECT 'c' || lpad(cast(doc_id % 40 AS varchar), 2, '0') AS conv_id,
+        |    cast(doc_id // 40 AS int) AS turn_idx,
+        |    CASE cast(((doc_id // 40) * (1 + (doc_id % 40) % 2)) % 4 AS int)
+        |      WHEN 0 THEN 'user' WHEN 3 THEN 'tool' ELSE 'assistant' END AS role,
+        |    CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END AS text
+        |  FROM documents),
+        |v AS (SELECT a.conv_id, count(*) AS n_violations
+        |  FROM ct a JOIN ct b
+        |    ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1 AND a.role = b.role
+        |  GROUP BY a.conv_id),
+        |s AS (SELECT ct.conv_id, count(*) AS n_turns,
+        |    cast(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS bigint) AS n_empty,
+        |    cast(coalesce(any_value(v.n_violations), 0) AS bigint) AS n_violations
+        |  FROM ct LEFT JOIN v ON ct.conv_id = v.conv_id GROUP BY ct.conv_id)
+        |SELECT conv_id, n_turns, n_violations, n_empty FROM s
+        |WHERE n_turns >= 3 AND n_violations <= 0 AND n_empty * 100 <= n_turns * 25
+        |ORDER BY conv_id""".stripMargin,
+
+    "q_conv_render" ->
+      """WITH ct AS (SELECT 'c' || lpad(cast(doc_id % 40 AS varchar), 2, '0') AS conv_id,
+        |    cast(doc_id // 40 AS int) AS turn_idx,
+        |    CASE cast(((doc_id // 40) * (1 + (doc_id % 40) % 2)) % 4 AS int)
+        |      WHEN 0 THEN 'user' WHEN 3 THEN 'tool' ELSE 'assistant' END AS role,
+        |    CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END AS text
+        |  FROM documents)
+        |SELECT conv_id, count(*) AS n_turns,
+        |  string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx) AS training_text
+        |FROM ct GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+    "q_pdf_extract" ->
+      """SELECT doc_id, cast(doc_id % 4 AS int) AS variant, text AS roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_media_features" ->
       """SELECT doc_id * 10 + 1 AS media_id, doc_id,

@@ -1,0 +1,225 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** From-scratch PDF writer/parser: exact round trips across every
+  * encoding/layout variant, plus adversarial object-syntax and
+  * content-stream inputs the writer never produces (nested literal
+  * parens, octal escapes, odd hex, broken xref, unknown filters,
+  * truncation). The parser must never throw.
+  */
+class PdfSpec extends AnyFunSuite {
+  private def bytes(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
+
+  private val loremWords =
+    Iterator.tabulate(400)(i => s"word${i % 97}").mkString(" ")
+
+  private def roundtrip(text: String, l: Pdf.Layout): String =
+    Pdf.extractText(Pdf.write(text, l))
+
+  private def unwrapped(extracted: String): String = extracted.replace('\n', ' ')
+
+  // ---- wrap invertibility ----
+
+  test("wrap breaks only at single spaces and mkString-inverts exactly") {
+    val cases = Seq(
+      "a b c", "", " ", "a  b", "  lead", "trail ", "a",
+      "x" * 100, // overlong word gets its own line, never split
+      ("ab " * 50).trim, "a" + " " * 5 + "b")
+    for (t <- cases; w <- Seq(5, 12, 60)) {
+      val lines = Pdf.wrap(t, w)
+      assert(lines.mkString(" ") == t, s"wrap not invertible: '$t' width $w -> $lines")
+      for (l <- lines if l.length > w)
+        assert(!l.dropRight(1).contains(' ') || l.split(" ", -1).exists(_.length > w),
+          s"overlong line '$l' should only come from an overlong word")
+    }
+  }
+
+  // ---- round trips per variant ----
+
+  test("round trip: literal strings, Td/T*/' positioning") {
+    assert(unwrapped(roundtrip(loremWords, Pdf.Layout())) == loremWords)
+  }
+
+  test("round trip: FlateDecode + hex show strings") {
+    val l = Pdf.Layout(compress = true, hexStrings = true)
+    assert(unwrapped(roundtrip(loremWords, l)) == loremWords)
+  }
+
+  test("round trip: two-column layout emitted out of reading order") {
+    val l = Pdf.Layout(compress = true, twoColumn = true, linesPerPage = 10)
+    val got = roundtrip(loremWords, l)
+    assert(unwrapped(got) == loremWords,
+      "column clustering must restore reading order from scrambled stream order")
+    // and the content stream really IS out of reading order (guard against
+    // the writer silently degrading to single-column)
+    val pdf = Pdf.write(loremWords, l)
+    val objs = Pdf.scanObjects(pdf)
+    val first = Pdf.pageContents(objs).head
+    val txt = new String(first, StandardCharsets.ISO_8859_1)
+    assert(txt.indexOf("330") >= 0 && txt.indexOf("330") < txt.indexOf(" 60 "),
+      "right column (x=330) must be emitted before left (x=60) in the stream")
+  }
+
+  test("round trip: TJ kerning adjustments as word gaps") {
+    val l = Pdf.Layout(kernedSpaces = true)
+    assert(unwrapped(roundtrip(loremWords, l)) == loremWords)
+    // writer must not emit literal spaces inside TJ show strings
+    val pdf = new String(Pdf.write("alpha beta", l), StandardCharsets.ISO_8859_1)
+    assert(!pdf.contains("(alpha beta)"))
+  }
+
+  test("round trip: multi-page documents keep page order") {
+    val l = Pdf.Layout(charsPerLine = 20, linesPerPage = 3)
+    val t = Iterator.tabulate(120)(i => s"w$i").mkString(" ")
+    assert(unwrapped(roundtrip(t, l)) == t)
+    val objs = Pdf.scanObjects(Pdf.write(t, l))
+    assert(Pdf.pageContents(objs).length > 3, "expected a genuinely multi-page pdf")
+  }
+
+  test("round trip: special characters escape correctly in literal strings") {
+    val t = """par(en) close) open( back\slash \\double (nested (deep)) end"""
+    assert(unwrapped(roundtrip(t, Pdf.Layout(charsPerLine = 200))) == t)
+  }
+
+  test("round trip: empty and whitespace-heavy documents") {
+    for (t <- Seq("", "   ", "a  b   c", " x ")) {
+      assert(unwrapped(roundtrip(t, Pdf.Layout(charsPerLine = 4))) == t, s"input '$t'")
+      assert(unwrapped(roundtrip(t, Pdf.Layout(kernedSpaces = true, charsPerLine = 4))) == t,
+        s"kerned input '$t'")
+    }
+  }
+
+  // ---- adversarial content streams (hand-built, not writer output) ----
+
+  private def onePagePdf(content: String): Array[Byte] = {
+    val c = bytes(content)
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${c.length} >>\nstream\n")
+    val head = bytes(sb.toString)
+    val tail = bytes("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    head ++ c ++ tail
+  }
+
+  test("octal, named escapes and line continuations in literal strings") {
+    val content =
+      "BT 12 TL 60 700 Td (A\\101\\12B) Tj T* (c\\\nd) Tj T* (tab\\there) Tj ET"
+    val got = Pdf.extractText(onePagePdf(content))
+    // \101 = 'A', \12 = LF (kept inside the run's text)
+    assert(got.contains("AA\nB") || got.contains("AA"), s"octal escapes: '$got'")
+    assert(got.contains("cd"), s"backslash-EOL continuation must join: '$got'")
+    assert(got.contains("tab\there"), s"named escape: '$got'")
+  }
+
+  test("nested unescaped parens balance; odd hex pads; whitespace in hex") {
+    val content =
+      "BT 12 TL 60 700 Td ((nested (deep)) ok) Tj T* <48 65 6C6C 6F2> Tj ET"
+    val got = Pdf.extractText(onePagePdf(content))
+    assert(got.contains("(nested (deep)) ok"), s"paren balance: '$got'")
+    assert(got.contains("Hello "), s"hex decode with odd pad (0x20): '$got'")
+  }
+
+  test("quote operators and Tm positioning") {
+    val content =
+      "BT /F1 9 Tf 14 TL 1 0 0 1 60 700 Tm (top) Tj (next) ' 3 0 (third) \" ET"
+    val got = Pdf.extractText(onePagePdf(content))
+    assert(got == "top\nnext\nthird", s"got '$got'")
+  }
+
+  test("text outside BT/ET is ignored; unknown operators don't derail") {
+    val content =
+      "(stray) Tj q 1 0 0 1 5 5 cm BT 12 TL 60 700 Td 1 1 1 rg (kept) Tj ET Q"
+    val got = Pdf.extractText(onePagePdf(content))
+    assert(got == "kept", s"got '$got'")
+  }
+
+  test("comments and junk between objects are skipped") {
+    val pdf = onePagePdf("% a comment inside the stream\nBT 12 TL 60 700 Td (ok) Tj ET")
+    assert(Pdf.extractText(pdf) == "ok")
+    val noisy = bytes("%PDF-1.4\ngarbage 42 not an obj\n") ++ onePagePdf(
+      "BT 12 TL 60 700 Td (still ok) Tj ET").drop(9)
+    assert(Pdf.extractText(noisy) == "still ok")
+  }
+
+  test("missing /Length falls back to endstream search") {
+    val content = "BT 12 TL 60 700 Td (found) Tj ET"
+    val pdf = new String(onePagePdf(content), StandardCharsets.ISO_8859_1)
+      .replaceFirst("""<< /Length \d+ >>""", "<< >>")
+    assert(Pdf.extractText(bytes(pdf)) == "found")
+  }
+
+  test("broken page tree falls back to object-order pages") {
+    val pdf = new String(onePagePdf("BT 12 TL 60 700 Td (orphan) Tj ET"),
+      StandardCharsets.ISO_8859_1)
+      .replace("/Pages 2 0 R", "/Pages 99 0 R") // dangling ref
+    assert(Pdf.extractText(bytes(pdf)) == "orphan")
+  }
+
+  test("unknown filter yields empty text, not an exception") {
+    val pdf = new String(onePagePdf("BT (x) Tj ET"), StandardCharsets.ISO_8859_1)
+      .replaceFirst("<< /Length", "<< /Filter /DCTDecode /Length")
+    assert(Pdf.extractText(bytes(pdf)) == "")
+  }
+
+  test("parser never throws on garbage, truncation, or corrupt flate") {
+    val good = Pdf.write("hello world", Pdf.Layout(compress = true))
+    val inputs = Seq[Array[Byte]](
+      Array.emptyByteArray,
+      bytes("not a pdf at all"),
+      good.take(good.length / 2),
+      good.take(40),
+      good.map(b => (b ^ 0x5a).toByte),
+      bytes("1 0 obj << /Length 999999 >> stream\nshort"),
+      null
+    )
+    for (in <- inputs) {
+      val out = Pdf.extractText(in) // must not throw
+      assert(out != null)
+    }
+  }
+
+  test("content stream split across an array of streams concatenates") {
+    val c1 = bytes("BT 12 TL 60 700 Td (part one")
+    val c2 = bytes(" part two) Tj ET")
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${c1.length} >>\nstream\n")
+    val mid = bytes(s"\nendstream\nendobj\n5 0 obj\n<< /Length ${c2.length} >>\nstream\n")
+    val tail = bytes("\nendstream\nendobj\n%%EOF\n")
+    val pdf = bytes(sb.toString) ++ c1 ++ mid ++ c2 ++ tail
+    // the writer never splits mid-string; a tolerant reader still recovers
+    // the concatenated stream's text
+    assert(Pdf.extractText(pdf) == "part one part two")
+  }
+
+  test("xref offsets in writer output are byte-accurate") {
+    val pdf = Pdf.write("check xref", Pdf.Layout())
+    val s = new String(pdf, StandardCharsets.ISO_8859_1)
+    val xref = s.lastIndexOf("\nxref\n") + 1 // not the "xref" inside "startxref"
+    val entries = s.substring(xref).linesIterator.drop(2)
+      .takeWhile(l => l.endsWith("n ") || l.endsWith("f ")).toVector
+    // entry k (1-based object number) must point at "k 0 obj"
+    entries.zipWithIndex.drop(1).foreach { case (e, idx) =>
+      val off = e.substring(0, 10).toInt
+      assert(s.startsWith(s"$idx 0 obj", off), s"xref entry $idx points at '$${s.substring(off, off+12)}'")
+    }
+    // startxref must point at the xref keyword
+    val start = s.substring(s.lastIndexOf("startxref\n") + 10).trim.takeWhile(_.isDigit).toInt
+    assert(start == xref)
+  }
+
+  test("latin-1 bytes survive literal and hex paths (WinAnsi approximation)") {
+    val t = "café naïve über"
+    assert(unwrapped(roundtrip(t, Pdf.Layout(charsPerLine = 200))) == t)
+    assert(unwrapped(roundtrip(t, Pdf.Layout(hexStrings = true, charsPerLine = 200))) == t)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Conversation-level quality operators: the skew-safe successor-join
+  * violation count must equal the window-lag reference exactly (including
+  * on a planted monster conversation and on gappy turn indices), the gate
+  * must apply its documented thresholds, the render must be order-stable,
+  * and the stats plan must contain NO window operator (the scale
+  * property the successor join exists for).
+  */
+class ConvOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-conv-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Deterministic corpus: 30 conversations with role cycles of different
+    * periods (so some alternate cleanly and some repeat), a planted
+    * 2,000-turn monster conversation, empty turns, and one conversation
+    * with GAPPY turn indices (0, 2, 4, …) — adjacent-by-index semantics
+    * must follow turn_idx arithmetic, exactly like the production
+    * operator's contract.
+    */
+  private def corpus(): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val roles = Vector("user", "assistant", "assistant", "tool")
+    val rows = (0 until 3000).map { i =>
+      val conv = if (i < 2000) "cBIG" else "c%02d".format(i % 30)
+      val turn = if (i < 2000) i else i / 30
+      val role = roles((turn * (1 + i % 2)) % 4)
+      val text = if (i % 7 == 0) "" else s"turn text $i"
+      val tool = if (role == "tool") "search" else "none"
+      (conv, turn, role, text, tool)
+    } ++ Seq(
+      ("cGAP", 0, "user", "a", "none"), ("cGAP", 2, "user", "b", "none"),
+      ("cGAP", 3, "assistant", "c", "none"))
+    rows.toDF("conv_id", "turn_idx", "role", "text", "tool")
+  }
+
+  test("violation count equals the window-lag reference on every conversation") {
+    val t = corpus()
+    val ref = t
+      .withColumn("prev_role",
+        lag(col("role"), 1).over(Window.partitionBy("conv_id").orderBy("turn_idx")))
+      .withColumn("prev_idx",
+        lag(col("turn_idx"), 1).over(Window.partitionBy("conv_id").orderBy("turn_idx")))
+      .filter(col("prev_role") === col("role") && col("prev_idx") === col("turn_idx") - 1)
+      .groupBy("conv_id").agg(count(lit(1)).as("ref_violations"))
+    val got = ConvOps.convStats(t).select("conv_id", "n_violations")
+    val joined = got.join(ref, Seq("conv_id"), "full")
+      .na.fill(0L, Seq("n_violations", "ref_violations"))
+      .filter(col("n_violations") =!= col("ref_violations"))
+    assert(joined.count() == 0, joined.collect().mkString("; "))
+    // gappy conversation: turns 0 and 2 share a role but are NOT adjacent
+    // by index — must not count; 2 and 3 differ in role — must not count
+    val gap = got.filter(col("conv_id") === "cGAP").collect()
+    assert(gap.length == 1 && gap.head.getLong(1) == 0L, gap.mkString)
+  }
+
+  test("stats add up on the monster conversation") {
+    val row = ConvOps.convStats(corpus()).filter(col("conv_id") === "cBIG").collect().head
+    assert(row.getAs[Long]("n_turns") == 2000)
+    assert(row.getAs[Long]("n_user") + row.getAs[Long]("n_assistant") +
+      row.getAs[Long]("n_tool_role") == 2000)
+    assert(row.getAs[Long]("n_tool_calls") == row.getAs[Long]("n_tool_role"))
+    assert(row.getAs[Long]("n_empty") > 0)
+  }
+
+  test("convFilter applies its documented thresholds exactly") {
+    val stats = ConvOps.convStats(corpus()).collect()
+      .map(r => r.getAs[String]("conv_id") ->
+        (r.getAs[Long]("n_turns"), r.getAs[Long]("n_violations"), r.getAs[Long]("n_empty")))
+      .toMap
+    val kept = ConvOps.convFilter(corpus(), minTurns = 3, maxViolations = 0, maxEmptyPct = 25)
+      .select("conv_id").collect().map(_.getString(0)).toSet
+    val expected = stats.collect {
+      case (c, (n, v, e)) if n >= 3 && v == 0 && e * 100 <= n * 25 => c
+    }.toSet
+    assert(kept == expected, s"kept=$kept expected=$expected")
+    assert(kept.nonEmpty && kept.size < stats.size, "gate must be non-trivial on this corpus")
+  }
+
+  test("renderChatTemplate is order-stable and role-tagged") {
+    val s = spark
+    import s.implicits._
+    // feed turns deliberately out of order and badly partitioned
+    val t = Seq(
+      ("c1", 2, "user", "third", "none"),
+      ("c1", 0, "user", "first", "none"),
+      ("c1", 1, "assistant", "second", "none"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+      .repartition(4)
+    val got = ConvOps.renderChatTemplate(t).collect().head
+    assert(got.getAs[String]("training_text") ==
+      "<|user|>first\n<|assistant|>second\n<|user|>third")
+    assert(got.getAs[Long]("n_turns") == 3)
+  }
+
+  test("plan: convStats contains no Window operator (skew-safe shape)") {
+    val plan = ConvOps.convStats(corpus()).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected window-free plan:\n$plan")
+  }
+}

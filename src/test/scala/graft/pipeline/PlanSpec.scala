@@ -48,6 +48,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles.isEmpty, s"extraction must not shuffle:\n$plan")
   }
 
+  test("pdf synthesize+extract plans with zero shuffles (pure mapPartitions)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = graft.ops.PdfOps.extractText(graft.ops.PdfOps.synthesize(docs))
+      .queryExecution.executedPlan
+    val shuffles = collectPlan(plan).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, s"pdf extraction must not shuffle:\n$plan")
+  }
+
   test("dimension join is broadcast, not shuffled") {
     val df = SparkEntry.queries("q_join_segment_sales")(spark, sfDir)
     df.collect() // let AQE finalize

@@ -343,7 +343,11 @@ object Pdf {
           }
         } else if (b == '(') { depth += 1; out.write('('); pos += 1 }
         else if (b == ')') { depth -= 1; if (depth > 0) out.write(')'); pos += 1 }
-        else { out.write(b); pos += 1 }
+        else if (b == '\r') {
+          // unescaped EOL in a literal string reads as 0x0A (CRLF = one)
+          out.write('\n'); pos += 1
+          if (pos < end && data(pos) == '\n') pos += 1
+        } else { out.write(b); pos += 1 }
       }
       out.toByteArray
     }
@@ -413,7 +417,6 @@ object Pdf {
             case Some(n) if n == math.floor(n) && n >= 0 =>
               val save2 = pos
               skipWs()
-              val t2Start = pos
               val t2 = bareToken()
               toNum(t2) match {
                 case Some(g) if g == math.floor(g) && g >= 0 =>
@@ -422,9 +425,7 @@ object Pdf {
                   if (t3 == "R") Some(PRef(n.toInt, g.toInt))
                   else { pos = save2; Some(PNum(n)) }
                 case _ =>
-                  // not a ref; rewind the second token
-                  pos = if (t2.isEmpty) save2 else t2Start
-                  pos = save2
+                  pos = save2 // not a ref; rewind to just after the number
                   Some(PNum(n))
               }
             case Some(n) => Some(PNum(n))
@@ -472,11 +473,20 @@ object Pdf {
                 case _             => -1
               }
               val start = lx.pos
+              // with a direct /Length the extent is exact — the data may
+              // legitimately END in 0x0A/0x0D bytes (Flate output often
+              // does); only the endstream-search fallback trims the EOL
+              // the writer placed before the keyword
+              val exact = len >= 0 && start + len <= pdf.length
               val stop =
-                if (len >= 0 && start + len <= pdf.length) start + len
-                else indexOf(pdf, "endstream", start)
-              val realStop = if (stop < 0) pdf.length else stop
-              val raw = java.util.Arrays.copyOfRange(pdf, start, trimEol(pdf, start, realStop))
+                if (exact) start + len
+                else {
+                  val found = indexOf(pdf, "endstream", start)
+                  val s = if (found < 0) pdf.length else found
+                  trimEol(pdf, start, s)
+                }
+              val realStop = stop
+              val raw = java.util.Arrays.copyOfRange(pdf, start, realStop)
               out(n.toInt) = PStream(dict, raw)
               lx.pos = math.max(realStop, start)
             } else {

@@ -36,9 +36,13 @@ object CurateOps {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    // null cost reads as 0 and null priority sorts last (desc NULLS LAST):
+    // a null-text doc costs nothing and never displaces a real one —
+    // without the coalesce the per-partition sum pass would NPE on the
+    // primitive getLong
     val sorted = df
       .select(col(idCol).cast("long").as("id"), priority.cast("double").as("pri"),
-        tokenCount.cast("long").as("n_tokens"))
+        coalesce(tokenCount.cast("long"), lit(0L)).as("n_tokens"))
       .repartitionByRange(p, col("pri").desc, col("id"))
       .sortWithinPartitions(col("pri").desc, col("id"))
       .localCheckpoint(true)

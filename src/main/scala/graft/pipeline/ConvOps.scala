@@ -77,7 +77,11 @@ object ConvOps {
       array_join(
         transform(
           array_sort(collect_list(struct(col("turn_idx"),
-            concat(lit("<|"), col("role"), lit("|>"), col(textCol)).as("t")))),
+            // null text/role coalesce to "": a null would nullify the
+            // concat and array_join would then silently DROP the turn,
+            // desynchronizing the render from the turn count
+            concat(lit("<|"), coalesce(col("role"), lit("")), lit("|>"),
+              coalesce(col(textCol), lit(""))).as("t")))),
           s => s.getField("t")),
         "\n").as("training_text"))
 }

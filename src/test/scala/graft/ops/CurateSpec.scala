@@ -89,6 +89,17 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("budgetSelect survives null text (cost 0, priority last, no NPE)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Option("a b c")), (2L, None), (3L, Option("d e")))
+      .toDF("doc_id", "text")
+    val got = CurateOps.budgetSelect(df, "doc_id", length(col("text")),
+      TextOps.tokenCount(col("text")), 100L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 3L -> 2L, 2L -> 0L), got.toString)
+  }
+
   test("capPerGroup equals the row_number reference, including the hot group") {
     val df = corpus()
     val score = length(col("text")).cast("double") * lit(1048576.0) -

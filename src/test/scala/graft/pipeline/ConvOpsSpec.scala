@@ -111,6 +111,22 @@ class ConvOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getAs[Long]("n_turns") == 3)
   }
 
+  test("renderChatTemplate keeps null-text turns instead of dropping them") {
+    val s = spark
+    import s.implicits._
+    val t = Seq(
+      ("c1", 0, "user", Option("hi"), "none"),
+      ("c1", 1, "assistant", None, "none"),
+      ("c1", 2, "user", Option("bye"), "none"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val got = ConvOps.renderChatTemplate(t).collect().head
+    // a null text must render as an empty turn, not vanish (array_join
+    // silently drops null elements)
+    assert(got.getAs[String]("training_text") ==
+      "<|user|>hi\n<|assistant|>\n<|user|>bye")
+    assert(got.getAs[Long]("n_turns") == 3)
+  }
+
   test("plan: convStats contains no Window operator (skew-safe shape)") {
     val plan = ConvOps.convStats(corpus()).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"expected window-free plan:\n$plan")

@@ -72,6 +72,21 @@ object PlanDump {
       docs.selectExpr("cast(doc_id % 40 as string) as conv_id",
         "cast(doc_id div 40 as int) as turn_idx", "'user' as role",
         "text", "'none' as tool")))
+    // incremental ingest serving plans: (1) candidate stage — the index
+    // scan must sit on the STREAM side of a BroadcastHashJoin (the
+    // corpus-scale band rows never shuffle; only candidate id pairs leave);
+    // (2) verification stage — the corpus text scans must carry a
+    // candidate-id broadcast LEFT-SEMI so shingling costs O(candidates).
+    val tmpInc = java.nio.file.Files.createTempDirectory("graft_plan_inc")
+      .toString + "/idx"
+    DedupOps.writeMinhashIndex(docs, "doc_id", "text", tmpInc,
+      k = 3, numHashes = 64, bands = 16)
+    val incBatch = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    dump("incremental_neardup_candidates", DedupOps.incrementalCandidates(
+      incBatch, "doc_id", "text", tmpInc))
+    dump("incremental_neardup_verify", DedupOps.incrementalNearDups(
+      incBatch, "doc_id", "text", tmpInc, docs, threshold = 0.5))
     spark.stop()
   }
 }

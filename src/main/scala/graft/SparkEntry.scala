@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{TagAttributes => CoreTagAttributes}
-import graft.ops.{CurateOps, DedupOps, JoinOps, MediaOps, PackOps, PdfOps, RetrievalOps, ShuffleOps, SimOps, TextOps}
+import graft.ops.{CurateOps, DedupOps, JoinOps, MediaOps, PackOps, PdfOps, RetrievalOps, ShuffleOps, SimOps, TextOps, WebOps}
 import graft.pipeline.{ConvAssembly, ConvOps, ExtractJob, SpanLineage, TranscriptGen, Turn, Udfs}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -590,6 +590,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_url_blocklist" -> ((s, dir) => {
+      // domain-blocklist filtering (the C4-style bad-domains pass) over
+      // synthesized crawl URLs: host = [sub.|www.]example<id%7>.com; the
+      // blocklist bans example1.com / example4.com (and so every
+      // subdomain) plus the single host sub.example2.com, with
+      // deliberately unnormalized entries (case, www., whitespace). The
+      // oracle derives the survivor set and its hosts DIRECTLY from
+      // doc_id arithmetic — an independent derivation, not a regex mirror
+      import s.implicits._
+      val id = col("doc_id")
+      val raw = concat(
+        when(id % 2 === 0, lit("https://")).otherwise(lit("http://")),
+        when(id % 4 === 0, lit("Sub.")).when(id % 4 === 1, lit("WWW."))
+          .otherwise(lit("")),
+        lit("ExAmple"), (id % 7).cast("string"), lit(".CoM/p/"),
+        id.cast("string"))
+      val block = Seq("  Example1.com", "www.example4.COM ", "sub.example2.com")
+        .toDF("domain")
+      WebOps.filterBlockedDomains(docs(s, dir).withColumn("url", raw), "url", block)
+        .select(id, WebOps.urlHost(col("url")).as("host"))
+        .orderBy("doc_id")
+    }),
+
     "q_pack_chunks" -> ((s, dir) => {
       // sequence packing: greedy token-budget bins in stable id order,
       // parallel by deterministic 100-id groups; the greedy fold is
@@ -958,6 +981,52 @@ object SparkEntry {
           threshold = 0.5, numHashes = 512, bands = 64)
         .select("id_a", "id_b", "inter", "union")
         .orderBy("id_a", "id_b")
+    }),
+
+    "q_dedup_incremental" -> ((s, dir) => {
+      // batch-vs-index incremental near-dup end-to-end: index the corpus
+      // once on disk (band rows only), then dedup a "new day" batch — the
+      // first 50 docs re-submitted under +500000 ids — against it without
+      // re-signaturing the corpus. Expected pairs are fully derivable:
+      // each twin hits its original (jaccard 1) plus every old doc the
+      // original near-dupped with, and batch-internal pairs mirror the
+      // originals' own pair set; the oracle recomputes exact shingle
+      // jaccard over the SAME threshold-0.5 gap q_dedup_minhash uses
+      val d = docs(s, dir).select("doc_id", "text")
+      val batch = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_incdedup_q").toString + "/idx"
+      DedupOps.writeMinhashIndex(d, "doc_id", "text", tmp,
+        k = 3, numHashes = 512, bands = 64)
+      DedupOps.incrementalNearDups(batch, "doc_id", "text", tmp, d,
+          threshold = 0.5)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_dedup_unseen" -> ((s, dir) => {
+      // incremental EXACT dedup: filter an ingest batch against an on-disk
+      // fingerprint index of the corpus (the cheap pre-near-dup stage).
+      // Batch = verbatim re-crawls of docs <25 (+600000 — all seen, drop),
+      // suffixed variants of docs <10 (+700000 — unseen, keep), and an
+      // internal twin pair (800000/800001 — first id wins). Survivors are
+      // independently derivable from doc_id arithmetic alone.
+      val d = docs(s, dir).select("doc_id", "text")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_fpidx_q").toString + "/idx"
+      DedupOps.writeFingerprintIndex(d, "doc_id", "text", tmp)
+      val lo = d.filter(col("doc_id") < 25)
+      val batch = lo.select((col("doc_id") + 600000).as("doc_id"), col("text"))
+        .union(d.filter(col("doc_id") < 10).select(
+          (col("doc_id") + 700000).as("doc_id"),
+          concat(col("text"), lit(" xq417q")).as("text")))
+        .union(d.filter(col("doc_id") === 17).select(
+          lit(800000L).as("doc_id"), concat(col("text"), lit(" xq418q")).as("text")))
+        .union(d.filter(col("doc_id") === 17).select(
+          lit(800001L).as("doc_id"), concat(col("text"), lit(" xq418q")).as("text")))
+      DedupOps.filterUnseen(batch, "doc_id", "text", tmp)
+        .select("doc_id").orderBy("doc_id")
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
@@ -1481,6 +1550,14 @@ object SparkEntry {
         |  ) AS canon_url
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_url_blocklist" ->
+      """SELECT doc_id,
+        |  concat(CASE WHEN doc_id % 4 = 0 THEN 'sub.' ELSE '' END,
+        |    'example', cast(doc_id % 7 AS varchar), '.com') AS host
+        |FROM documents
+        |WHERE NOT (doc_id % 7 IN (1, 4) OR (doc_id % 7 = 2 AND doc_id % 4 = 0))
+        |ORDER BY doc_id""".stripMargin,
+
     "q_pack_chunks" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, doc_id // 100 AS grp,
@@ -1976,6 +2053,35 @@ object SparkEntry {
         |SELECT ia AS id_a, ib AS id_b, cast(inter AS int) AS inter,
         |  cast(na + nb - inter AS int) AS "union"
         |FROM p WHERE inter * 1.0 / (na + nb - inter) >= 0.5 ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(regexp_split_to_array(trim(lower(text)),'\s+')) - 1),
+        |    i -> regexp_split_to_array(trim(lower(text)),'\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(lower(text)),'\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(lower(text)),'\s+')[i+2])) AS sh
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM t),
+        |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter,
+        |             any_value(a.n) AS na, any_value(b.n) AS nb
+        |      FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT ia, ib FROM p WHERE inter * 1.0 / (na + nb - inter) >= 0.5)
+        |SELECT id_a, id_b FROM (
+        |  SELECT doc_id AS id_a, doc_id + 500000 AS id_b
+        |    FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT ia, ib + 500000 FROM j WHERE ib < 50
+        |  UNION ALL SELECT ib, ia + 500000 FROM j WHERE ia < 50
+        |  UNION ALL SELECT ia + 500000, ib + 500000 FROM j WHERE ib < 50
+        |) ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_unseen" ->
+      """WITH f AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+        |k AS (SELECT doc_id FROM f a WHERE NOT EXISTS (
+        |        SELECT 1 FROM f b WHERE b.text = a.text AND b.doc_id < a.doc_id))
+        |SELECT doc_id FROM (
+        |  SELECT doc_id + 700000 AS doc_id FROM k
+        |  UNION ALL SELECT cast(800000 AS bigint)
+        |) ORDER BY 1""".stripMargin,
 
     "q_dedup_simhash" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, cast(0 AS int) AS hamming

@@ -1229,4 +1229,267 @@ object DedupOps {
         (col("n_hit") * 100 >= col("n_sh") * thresholdPct && col("n_sh") > 0)
           .cast("int"))
   }
+
+  // ---- incremental near-dup: batch-vs-index without re-scanning the corpus
+
+  /** On-disk MinHash band index layout:
+    * `dir/params/` (one-row parquet pinning k/numHashes/bands — a query
+    * with different parameters produces incomparable band hashes, so
+    * [[incrementalNearDups]] fails fast on mismatch), and per-batch
+    * `dir/banded/batch=<label>/` directories of (id, band, bucket) rows.
+    * A batch is visible only after its `_COMMITTED_<label>` root marker
+    * lands — readers prune uncommitted (torn) batch directories via a
+    * partition filter, so a died append never corrupts later queries.
+    */
+  private val IdxParams = "params"
+  private val IdxBanded = "banded"
+  private def idxFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+  private def bandedRows(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, numHashes: Int, bands: Int): DataFrame = {
+    val sig = df.select(col(idCol).cast("long").as("id"),
+      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    bandExplode(sig, bands, numHashes / bands)
+  }
+
+  /** Create a MinHash band index at `dir` from the initial corpus — the
+    * index-once half of incremental dedup. Only (id, band, 8-byte bucket)
+    * rows are written: ~`bands`×20 B per document regardless of text size,
+    * one map-side signature pass, no shuffle (parquet write preserves the
+    * scan's partitioning).
+    */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        dir: String, k: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, label: String = "base"): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = df.sparkSession
+    // true overwrite: a leftover index here (prior run, different params)
+    // would otherwise mix incomparable band hashes into later queries
+    val (fs, root) = idxFs(spark, dir)
+    if (fs.exists(root)) fs.delete(root, true)
+    spark.createDataFrame(Seq((k, numHashes, bands)))
+      .toDF("k", "num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$dir/$IdxParams")
+    appendMinhashIndex(df, idCol, textCol, dir, label)
+  }
+
+  /** Append a processed batch's band rows to an existing index as
+    * `batch=<label>` (commit-marked; see the layout note above). Call
+    * AFTER [[incrementalNearDups]] for the batch — an appended-first batch
+    * would join against itself through the index. Re-appending a committed
+    * label fails fast rather than silently doubling its rows.
+    */
+  def appendMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                         dir: String, label: String): Unit = {
+    require(label.matches("[A-Za-z0-9._-]+"), s"unsafe batch label: '$label'")
+    val spark = df.sparkSession
+    val (fs, root) = idxFs(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(root, s"_COMMITTED_$label")
+    require(!fs.exists(marker), s"batch '$label' is already committed in $dir")
+    val (k, numHashes, bands) = readMinhashIndexParams(spark, dir)
+    bandedRows(df, idCol, textCol, k, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$dir/$IdxBanded/batch=$label")
+    fs.create(marker, true).close()
+  }
+
+  def readMinhashIndexParams(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/$IdxParams").head
+    (r.getAs[Int]("k"), r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"))
+  }
+
+  /** Committed-batch band rows of the index: (id, band, bucket), pruned to
+    * committed `batch=` directories by a partition filter (torn appends
+    * are invisible — their directories are never read).
+    */
+  private def committedBanded(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    val (fs, root) = idxFs(spark, dir)
+    val committed = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_COMMITTED_") => n.stripPrefix("_COMMITTED_") }
+      .toSeq
+    require(committed.nonEmpty, s"no committed batches in index $dir")
+    spark.read.parquet(s"$dir/$IdxBanded")
+      .filter(col("batch").isin(committed: _*))
+      .select("id", "band", "bucket")
+  }
+
+  /** Near-dup pairs INVOLVING a new batch — the daily-ingest shape: dedup
+    * today's documents against a 100 TB corpus without re-signaturing it.
+    * Returns `(id_a, id_b, inter, union, jaccard)` with `jaccard >=
+    * threshold` and id_a < id_b, where at least one side is a batch id;
+    * batch-internal pairs are included (a batch dupes against itself too).
+    *
+    * Scale shape: the batch's band rows are computed once (eager
+    * localCheckpoint) and BROADCAST against the index scan — the index's
+    * band rows stream map-side through the join, so the 100 TB side never
+    * shuffles and only candidate (id, id) pairs leave the stage
+    * (plan-asserted in IncrementalDedupSpec). Batch-internal candidates
+    * reuse the standard bucket self-join on the tiny batch side.
+    * Exact-Jaccard verification re-reads text ONLY for candidate ids: the
+    * (batch-bounded) candidate id set broadcast-semi-joins `corpusText` ∪
+    * batch at the scan, so shingle sets are computed for candidate rows
+    * alone — never a full-corpus shingle pass.
+    *
+    * `maxBucket` guards degenerate index buckets (boilerplate text at
+    * corpus scale): per-(band, bucket) index counts — 16-byte rows,
+    * map-side partial aggregation — drop buckets above the cap before the
+    * broadcast join, same upper-bound contract as [[minhashNearDups]].
+    *
+    * Ids must be unique across corpus ∪ batch (re-submitting an indexed id
+    * yields self-pairs, which are excluded, not detected as updates).
+    */
+  def incrementalNearDups(batch: DataFrame, idCol: String, textCol: String,
+                          indexDir: String, corpusText: DataFrame,
+                          threshold: Double = 0.8,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    // eager: the candidate pair set is consumed twice below (id pruning +
+    // verification) and is batch-bounded — never recompute the band joins
+    val cands = incrementalCandidates(batch, idCol, textCol, indexDir,
+      maxBucket).localCheckpoint(true)
+    val (k, _, _) = readMinhashIndexParams(batch.sparkSession, indexDir)
+    // prune the corpus to candidate ids BEFORE shingling: verification must
+    // cost O(candidates), not a full-corpus shingle pass — at 10^12 docs a
+    // 10^6-row batch touches ~10^6 corpus rows, and the broadcast semi-join
+    // drops everything else at the scan
+    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("__cid"))
+      .distinct()
+    val texts = corpusText.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .union(batch.select(col(idCol).cast("long").as(idCol), col(textCol)))
+      .join(broadcast(candIds), col(idCol) === col("__cid"), "left_semi")
+    jaccardVerify(cands, texts, idCol, textCol, k)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The candidate (id_a, id_b) stage of [[incrementalNearDups]],
+    * un-checkpointed — exposed so the spec can assert the scale-critical
+    * plan shape (index band rows stream through a broadcast join, never
+    * shuffling) that the public operator's eager checkpoint hides from its
+    * final plan.
+    */
+  private[graft] def incrementalCandidates(batch: DataFrame, idCol: String,
+                                           textCol: String, indexDir: String,
+                                           maxBucket: Int = Int.MaxValue): DataFrame = {
+    val spark = batch.sparkSession
+    val (k, numHashes, bands) = readMinhashIndexParams(spark, indexDir)
+    val newBanded = bandedRows(batch, idCol, textCol, k, numHashes, bands)
+      .localCheckpoint(true)
+    val indexed0 = committedBanded(spark, indexDir)
+    val indexed =
+      if (maxBucket == Int.MaxValue) indexed0
+      else {
+        val sizes = indexed0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsize"))
+          .filter(col("bsize") <= maxBucket)
+        indexed0.join(sizes, Seq("band", "bucket")).drop("bsize")
+      }
+    val crossPairs = indexed.as("o")
+      .join(broadcast(newBanded.as("n")),
+        col("o.band") === col("n.band") && col("o.bucket") === col("n.bucket"))
+      .filter(col("o.id") =!= col("n.id"))
+      .select(least(col("o.id"), col("n.id")).as("id_a"),
+        greatest(col("o.id"), col("n.id")).as("id_b"))
+    val batchPairs = bucketJoin(newBanded, maxBucket, None)
+    crossPairs.union(batchPairs).distinct()
+  }
+
+  /** Compact a multi-batch MinHash index into a fresh single-batch index at
+    * `destDir` — after months of daily appends the `banded/` listing is
+    * thousands of directories of small files, and every query pays the
+    * footer-read fan-out. Compaction writes a NEW index (params copied,
+    * all committed rows under one `batch=<label>`) rather than rewriting
+    * `srcDir` in place: object stores have no atomic directory swap, so
+    * the only crash-safe contract is write-new-then-repoint — a death
+    * mid-compact leaves `srcDir` fully serviceable and `destDir` simply
+    * uncommitted. Torn batches in `srcDir` are (correctly) not carried.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          srcDir: String, destDir: String,
+                          label: String = "compacted"): Unit = {
+    require(label.matches("[A-Za-z0-9._-]+"), s"unsafe batch label: '$label'")
+    val (k, numHashes, bands) = readMinhashIndexParams(spark, srcDir)
+    val (fs, root) = idxFs(spark, destDir)
+    if (fs.exists(root)) fs.delete(root, true)
+    spark.createDataFrame(Seq((k, numHashes, bands)))
+      .toDF("k", "num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$destDir/$IdxParams")
+    committedBanded(spark, srcDir)
+      .write.mode("overwrite").parquet(s"$destDir/$IdxBanded/batch=$label")
+    fs.create(new org.apache.hadoop.fs.Path(root, s"_COMMITTED_$label"), true)
+      .close()
+  }
+
+  // ---- incremental EXACT dedup: fingerprint index ------------------------
+
+  /** On-disk exact-fingerprint index: `dir/fp/batch=<label>/` parquet of
+    * (id, fp) rows — [[graft.ops.TextOps.fingerprint]] md5 keys, ~50 B per
+    * document regardless of text size — behind the same `_COMMITTED_<label>`
+    * root markers (and torn-append invisibility) as the MinHash band index.
+    * This is the cheap first stage of a daily-ingest pipeline: drop exact
+    * re-crawls before paying for signatures.
+    */
+  private val IdxFp = "fp"
+  private def fpRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+
+  def writeFingerprintIndex(df: DataFrame, idCol: String, textCol: String,
+                            dir: String, label: String = "base"): Unit = {
+    val (fs, root) = idxFs(df.sparkSession, dir)
+    if (fs.exists(root)) fs.delete(root, true)
+    appendFingerprintIndex(df, idCol, textCol, dir, label)
+  }
+
+  /** Append a batch's fingerprints as `batch=<label>` (commit-marked).
+    * Call AFTER [[filterUnseen]] for the batch; re-appending a committed
+    * label fails fast rather than silently doubling its rows.
+    */
+  def appendFingerprintIndex(df: DataFrame, idCol: String, textCol: String,
+                             dir: String, label: String): Unit = {
+    require(label.matches("[A-Za-z0-9._-]+"), s"unsafe batch label: '$label'")
+    val (fs, root) = idxFs(df.sparkSession, dir)
+    val marker = new org.apache.hadoop.fs.Path(root, s"_COMMITTED_$label")
+    require(!fs.exists(marker), s"batch '$label' is already committed in $dir")
+    fpRows(df, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$dir/$IdxFp/batch=$label")
+    fs.create(marker, true).close()
+  }
+
+  /** The rows of `batch` whose text was never seen — not in any committed
+    * index batch, and not earlier (lowest id wins) within this batch. The
+    * complement of the returned frame is safe to drop before the (much more
+    * expensive) near-dup pass; null-text rows are never "seen" by a
+    * previous null (fingerprint(null) is null; each survives alone, the
+    * [[exactDupReps]] convention).
+    *
+    * Scale shape: the batch's distinct fingerprints BROADCAST against the
+    * index scan (a daily batch is ~10^6 rows; the index is corpus-sized) —
+    * the index never shuffles, only the matched-fingerprint set (bounded by
+    * the batch's size) leaves that stage, and the final anti-join is
+    * batch-sized on both sides. The corpus text is never read at all.
+    */
+  def filterUnseen(batch: DataFrame, idCol: String, textCol: String,
+                   indexDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val (fs, root) = idxFs(spark, indexDir)
+    val committed = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_COMMITTED_") => n.stripPrefix("_COMMITTED_") }
+      .toSeq
+    require(committed.nonEmpty, s"no committed batches in index $indexDir")
+    val batchFp = fpRows(batch, idCol, textCol).localCheckpoint(true)
+    val seen = spark.read.parquet(s"$indexDir/$IdxFp")
+      .filter(col("batch").isin(committed: _*))
+      .join(broadcast(batchFp.select("fp").where(col("fp").isNotNull).distinct()),
+        Seq("fp"), "left_semi")
+      .select("fp").distinct()
+    val firstInBatch = batchFp.where(col("fp").isNotNull)
+      .groupBy("fp").agg(min("id").as("id"))
+      .join(seen, Seq("fp"), "left_anti")
+      .select("id")
+    val keepIds = batchFp.where(col("fp").isNull).select("id").union(firstInBatch)
+    batch.join(keepIds.withColumnRenamed("id", "__keep_id"),
+      col(idCol).cast("long") === col("__keep_id"), "left_semi")
+  }
 }

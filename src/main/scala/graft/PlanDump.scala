@@ -87,6 +87,15 @@ object PlanDump {
       incBatch, "doc_id", "text", tmpInc))
     dump("incremental_neardup_verify", DedupOps.incrementalNearDups(
       incBatch, "doc_id", "text", tmpInc, docs, threshold = 0.5))
+    // LM scoring: document text must stay below the first projection —
+    // everything crossing an exchange is (token|gram, count) rows
+    val lm = graft.ops.LmOps.bigramLm(docs, "text")
+    dump("lm_perplexity", graft.ops.LmOps.perplexityBits(
+      docs, "doc_id", "text", lm._1, lm._2, lm._3))
+    // conversation near-dup: exchanges carry (conv_id, 32-char fp) only
+    val convs = docs.selectExpr("cast(doc_id % 40 as string) as conv_id",
+      "cast(doc_id div 40 as int) as turn_idx", "text")
+    dump("conv_neardup", graft.pipeline.ConvOps.convNearDups(convs))
     spark.stop()
   }
 }

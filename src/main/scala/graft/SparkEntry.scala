@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{TagAttributes => CoreTagAttributes}
-import graft.ops.{CurateOps, DedupOps, JoinOps, MediaOps, PackOps, PdfOps, RetrievalOps, ShuffleOps, SimOps, TextOps, WebOps}
+import graft.ops.{CurateOps, DedupOps, JoinOps, LmOps, MediaOps, PackOps, PdfOps, RetrievalOps, ShuffleOps, SimOps, TextOps, WebOps}
 import graft.pipeline.{ConvAssembly, ConvOps, ExtractJob, SpanLineage, TranscriptGen, Turn, Udfs}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -613,6 +613,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_docs_perplexity" -> ((s, dir) => {
+      // CCNet-style LM quality signal: bigram model trained on the corpus
+      // itself (self-scoring — at scale the reference is a bounded clean
+      // corpus), per-doc bits-per-token. Every log term is rounded to 6
+      // decimals and summed as decimal(18,6), so the mean is bit-exact
+      // across engines and partial-agg orders; <2-token docs score NULL
+      val d = docs(s, dir)
+      val (bi, uni, v) = LmOps.bigramLm(d, "text")
+      LmOps.perplexityBits(d, "doc_id", "text", bi, uni, v)
+        .orderBy("doc_id")
+    }),
+
+    "q_docs_dsir" -> ((s, dir) => {
+      // DSIR importance weights: target model = docs with doc_id % 5 == 0
+      // (the "clean" subset), raw model = the whole corpus; per-doc mean
+      // log2-likelihood ratio under add-one unigram models. Same decimal
+      // term-sum determinism discipline as q_docs_perplexity
+      val d = docs(s, dir)
+      LmOps.dsirLogRatio(d, "doc_id", "text",
+          d.filter(col("doc_id") % 5 === 0), "text", d, "text")
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup within-cluster embedding dedup over planted perturbed
+      // twins (+100000, dim0 +0.01 — cosine ~0.9999 vs organic max 0.51,
+      // ULP-safe at tau 0.99). Cluster = argmax dimension: deterministic
+      // and SQL-expressible, standing in for the production k-means cells
+      // (ivfBuild) so survivors verify exactly; a twin whose argmax stays
+      // put shares its original's cluster and drops (first id wins)
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = e.union(e.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v")))
+      SimOps.semDedup(planted, "vec_id", "v",
+          array_position(col("v"), array_max(col("v"))), tau = 0.99)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     "q_pack_chunks" -> ((s, dir) => {
       // sequence packing: greedy token-budget bins in stable id order,
       // parallel by deterministic 100-id groups; the greedy fold is
@@ -1159,6 +1198,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_conv_dedup" -> ((s, dir) => {
+      // exact conversation dedup over planted whole-conversation copies:
+      // d-convs are verbatim re-labels of the c-convs (drop — c < d), and
+      // m-convs mutate turn 0 (survive). The oracle derives the survivor
+      // set DIRECTLY from doc_id arithmetic — an independent derivation
+      val t = convTurns(s, dir)
+      val dup = t.withColumn("conv_id",
+        concat(lit("d"), substring(col("conv_id"), 2, 2)))
+      val mut = t.withColumn("conv_id",
+          concat(lit("m"), substring(col("conv_id"), 2, 2)))
+        .withColumn("text", when(col("turn_idx") === 0,
+          concat(col("text"), lit(" mutated"))).otherwise(col("text")))
+      ConvOps.dedupConversations(t.union(dup).union(mut))
+        .select("conv_id").distinct().orderBy("conv_id")
+    }),
+
+    "q_conv_neardup" -> ((s, dir) => {
+      // near-duplicate conversations by turn-fingerprint Jaccard: n-convs
+      // re-edit every fifth turn of their c-original (jaccard ~0.67-0.8 at
+      // threshold 0.5); empty turns (doc_id%7==0) hash identically ACROSS
+      // conversations, so organic inter-conv overlap exercises the join
+      // beyond the planted pairs. Integer-exact output (inter, union)
+      val t = convTurns(s, dir)
+      val near = t.withColumn("conv_id",
+          concat(lit("n"), substring(col("conv_id"), 2, 2)))
+        .withColumn("text", when(col("turn_idx") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      ConvOps.convNearDups(t.union(near), threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     "x_bpe_merges" -> ((s, dir) => {
       // BPE vocabulary training (iterative pair-merge): inherently
       // sequential-argmax, so not SQL-expressible — the merge sequence is
@@ -1557,6 +1627,65 @@ object SparkEntry {
         |FROM documents
         |WHERE NOT (doc_id % 7 IN (1, 4) OR (doc_id % 7 = 2 AND doc_id % 4 = 0))
         |ORDER BY doc_id""".stripMargin,
+
+    "q_docs_perplexity" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |uc AS (SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+        |vv AS (SELECT count(*) AS v FROM uc),
+        |terms AS (SELECT b.doc_id,
+        |    cast(round(-log2((coalesce(bc.c12, 0) + 1.0) /
+        |      (coalesce(uc.c1, 0) + (SELECT v FROM vv))), 6)
+        |      AS decimal(18,6)) AS t
+        |  FROM bi b LEFT JOIN bc USING (w1, w2) LEFT JOIN uc ON uc.w = b.w1),
+        |g AS (SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY 1)
+        |SELECT d.doc_id, cast(coalesce(g.n, 0) AS bigint) AS n_bigrams,
+        |  CASE WHEN coalesce(g.n, 0) > 0
+        |    THEN round(cast(g.s AS double) / g.n, 4) END AS bits
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_docs_dsir" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |tr AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+        |tu AS (SELECT w, count(*) AS c FROM tr WHERE doc_id % 5 = 0 GROUP BY 1),
+        |ru AS (SELECT w, count(*) AS c FROM tr GROUP BY 1),
+        |tc AS (SELECT coalesce(sum(c), 0) + count(*) AS nv FROM tu),
+        |rc AS (SELECT coalesce(sum(c), 0) + count(*) AS nv FROM ru),
+        |terms AS (SELECT k.doc_id,
+        |    cast(round(log2((coalesce(tu.c, 0) + 1.0) / (SELECT nv FROM tc))
+        |             - log2((coalesce(ru.c, 0) + 1.0) / (SELECT nv FROM rc)), 6)
+        |      AS decimal(18,6)) AS t
+        |  FROM tr k LEFT JOIN tu ON tu.w = k.w LEFT JOIN ru ON ru.w = k.w),
+        |g AS (SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY 1)
+        |SELECT d.doc_id, cast(coalesce(g.n, 0) AS bigint) AS n_tokens,
+        |  CASE WHEN coalesce(g.n, 0) > 0
+        |    THEN round(cast(g.s AS double) / g.n, 4) END AS log_ratio
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_semantic" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS double)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT * FROM e
+        |      UNION ALL
+        |      SELECT vec_id + 100000, list_prepend(v[1] + 0.01, v[2:]) FROM e),
+        |c AS (SELECT vec_id, v, list_position(v, list_max(v)) AS cl FROM p)
+        |SELECT a.vec_id FROM c a
+        |WHERE NOT EXISTS (SELECT 1 FROM c b
+        |  WHERE b.cl = a.cl AND b.vec_id < a.vec_id
+        |    AND list_cosine_similarity(a.v, b.v) > 0.99)
+        |ORDER BY 1""".stripMargin,
 
     "q_pack_chunks" ->
       """WITH RECURSIVE t AS (
@@ -2185,6 +2314,33 @@ object SparkEntry {
         |SELECT conv_id, count(*) AS n_turns,
         |  string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn_idx) AS training_text
         |FROM ct GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+    "q_conv_dedup" ->
+      """WITH ids AS (SELECT DISTINCT lpad(cast(doc_id % 40 AS varchar), 2, '0') AS k
+        |  FROM documents)
+        |SELECT conv_id FROM (
+        |  SELECT 'c' || k AS conv_id FROM ids
+        |  UNION ALL SELECT 'm' || k FROM ids
+        |) ORDER BY conv_id""".stripMargin,
+
+    "q_conv_neardup" ->
+      """WITH ct AS (SELECT 'c' || lpad(cast(doc_id % 40 AS varchar), 2, '0') AS conv_id,
+        |    cast(doc_id // 40 AS int) AS turn_idx,
+        |    CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END AS text
+        |  FROM documents),
+        |al AS (SELECT conv_id, text FROM ct
+        |  UNION ALL SELECT 'n' || substr(conv_id, 2, 2),
+        |    CASE WHEN turn_idx % 5 = 0 THEN text || ' v2' ELSE text END
+        |  FROM ct),
+        |tf AS (SELECT DISTINCT conv_id, md5(text) AS tfp FROM al),
+        |sz AS (SELECT conv_id, count(*) AS n FROM tf GROUP BY 1),
+        |p AS (SELECT a.conv_id AS id_a, b.conv_id AS id_b, count(*) AS inter
+        |  FROM tf a JOIN tf b ON a.tfp = b.tfp AND a.conv_id < b.conv_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.n + sb.n - inter AS "union"
+        |FROM p JOIN sz sa ON sa.conv_id = id_a JOIN sz sb ON sb.conv_id = id_b
+        |WHERE inter >= 0.5 * (sa.n + sb.n - inter)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_pdf_extract" ->
       """SELECT doc_id, cast(doc_id % 4 AS int) AS variant, text AS roundtrip

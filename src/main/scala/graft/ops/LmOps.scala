@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring for corpus curation — the CCNet-style
+  * quality signal: train token-count models on a REFERENCE corpus (the
+  * "clean" set — at production scale a bounded curated corpus, orders of
+  * magnitude smaller than the raw crawl), then score every raw document by
+  * its per-token surprisal under that model. Low bits-per-token ≈ fluent,
+  * in-domain text; high ≈ gibberish, boilerplate, wrong language. The
+  * companion [[dsirLogRatio]] is the importance-sampling selection weight
+  * (log target-likelihood minus log raw-likelihood per token), the
+  * hashed-n-gram DSIR recipe with raw tokens as the features so the
+  * operator oracles exactly in ANSI SQL (a production run at 10^12 docs
+  * would hash tokens to a bounded feature space first; the plan shape is
+  * identical — only the key width changes).
+  *
+  * Determinism discipline: every per-token log term is rounded to 6
+  * decimals and cast to decimal(18,6) BEFORE the per-document sum, so the
+  * sum is exact integer arithmetic — independent of Spark's partial-agg
+  * order and bit-equal to the DuckDB oracle's (double `log2` differs from
+  * libm by ≤1 ulp, far inside the rounding slack; float sums differ by
+  * ORDERS more and would hash-mismatch).
+  *
+  * Scale shape: model training is one explode → hash-agg pass over the
+  * reference (map-side partial aggregation; counts only, text never
+  * shuffles). Scoring explodes the scored corpus to (id, gram) rows and
+  * equi-joins the count tables — AQE broadcasts them when the reference
+  * is bounded (the curated-reference case, i.e. always in practice) and
+  * falls back to a shuffle join that still completes when it is not. No
+  * driver-side collect anywhere.
+  */
+object LmOps {
+
+  /** Add-one-smoothed bigram model of `ref(textCol)`, returned as
+    * (bigram counts (w1, w2, c12), unigram counts (w1, c1), vocab size V).
+    * Tokens are lowercased whitespace tokens ([[TextOps.tokens]]).
+    * P(w2 | w1) = (c12 + 1) / (c1 + V); an unseen bigram contributes
+    * 1 / (c1 + V), an unseen context 1 / V — every probability is a ratio
+    * of integers, so scoring is reproducible across engines.
+    */
+  def bigramLm(ref: DataFrame, textCol: String): (DataFrame, DataFrame, Long) = {
+    val toks = ref.select(TextOps.tokens(lower(col(textCol))).as("ts"))
+    val bi = toks.select(explode(bigramsOf(col("ts"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uni = toks.select(explode(col("ts")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = uni.count()
+    (bi, uni, v)
+  }
+
+  /** (w1, w2) struct pairs of adjacent tokens; < 2 tokens → empty. The
+    * token array is [[TextOps.bindOnce bound]] first: `element_at` runs
+    * per element inside the lambda, so an unbound tokenizer expression
+    * would re-split the document O(tokens²) times (measured 36 s → 1.5 s
+    * at sf0.1 for the self-scoring query).
+    */
+  private def bigramsOf(toksExpr: Column): Column =
+    TextOps.bindOnce(toksExpr) { toks =>
+      when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2"))))
+    }
+
+  /** Per-document bits-per-token under the reference bigram model:
+    * `(id, n_bigrams, bits)` where bits = mean over the document's bigrams
+    * of round(-log2 P(w2|w1), 6), rounded to 4 decimals; documents with
+    * fewer than two tokens score NULL (no bigram evidence — callers
+    * decide their fate, same contract as a NULL URL host).
+    */
+  def perplexityBits(df: DataFrame, idCol: String, textCol: String,
+                     bigrams: DataFrame, unigrams: DataFrame,
+                     vocabSize: Long): DataFrame = {
+    val grams = df
+      .select(col(idCol), explode_outer(
+        bigramsOf(TextOps.tokens(lower(col(textCol))))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val p = (coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("c1"), lit(0L)) + lit(vocabSize.toDouble))
+    val term = round(-log2(p), 6).cast("decimal(18,6)")
+    grams
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
+      .groupBy(idCol)
+      .agg(count(col("w1")).as("n_bigrams"),
+        sum(when(col("w1").isNotNull, term)).as("bits_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(col("bits_sum").cast("double") / col("n_bigrams"), 4))
+          .as("bits"))
+  }
+
+  /** Add-one-smoothed unigram counts + total + vocab of a corpus — one
+    * explode → hash-agg pass; the two scalar actions scan only the count
+    * table, never the text.
+    */
+  private def unigramModel(corpus: DataFrame, textCol: String)
+      : (DataFrame, Long, Long) = {
+    val uni = corpus
+      .select(explode(TextOps.tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val agg = uni.agg(coalesce(sum("c"), lit(0L)), count(lit(1))).head
+    (uni, agg.getLong(0), agg.getLong(1))
+  }
+
+  /** DSIR importance weight of every document in `df`: mean per-token
+    * log2-likelihood RATIO between a target (clean) corpus's unigram model
+    * and the raw corpus's, i.e. `(id, n_tokens, log_ratio)` with
+    * log_ratio = mean of round(log2 p_target(w) - log2 p_raw(w), 6)
+    * rounded to 4 decimals (positive → token mix resembles the target;
+    * feed it to [[graft.ops.CurateOps]]-style top-k/temperature selection).
+    * Zero-token documents score NULL. Both models are add-one smoothed:
+    * p(w) = (c + 1) / (N + V) with each corpus's own token total N and
+    * vocab size V, so unseen tokens get a proper floor probability.
+    */
+  def dsirLogRatio(df: DataFrame, idCol: String, textCol: String,
+                   target: DataFrame, targetTextCol: String,
+                   raw: DataFrame, rawTextCol: String): DataFrame = {
+    val (tUni, tN, tV) = unigramModel(target, targetTextCol)
+    val (rUni, rN, rV) = unigramModel(raw, rawTextCol)
+    val toks = df.select(col(idCol),
+      explode_outer(TextOps.tokens(lower(col(textCol)))).as("w"))
+    val pT = (coalesce(col("ct"), lit(0L)) + lit(1.0)) / lit((tN + tV).toDouble)
+    val pR = (coalesce(col("cr"), lit(0L)) + lit(1.0)) / lit((rN + rV).toDouble)
+    val term = round(log2(pT) - log2(pR), 6).cast("decimal(18,6)")
+    toks
+      .join(tUni.withColumnRenamed("c", "ct"), Seq("w"), "left")
+      .join(rUni.withColumnRenamed("c", "cr"), Seq("w"), "left")
+      .groupBy(idCol)
+      .agg(count(col("w")).as("n_tokens"),
+        sum(when(col("w").isNotNull, term)).as("lr_sum"))
+      .select(col(idCol), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("lr_sum").cast("double") / col("n_tokens"), 4))
+          .as("log_ratio"))
+  }
+}

@@ -401,4 +401,50 @@ object SimOps {
     topKPerQuery(scored.select("query_id", "neighbor_id", "sim"), k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }
+
+  /** SemDeDup-style semantic dedup: within each cluster, drop every row
+    * whose embedding has cosine similarity above `tau` to a LOWER-id row of
+    * the same cluster (first-id-wins, the [[graft.ops.DedupOps]] keeper
+    * convention); rows in singleton clusters and NULL-cluster rows always
+    * survive (no cluster → no comparison set). Returns the surviving rows
+    * of `df` unchanged.
+    *
+    * `clusterCol` is caller-supplied: the SemDeDup recipe clusters by
+    * k-means over the embeddings (reuse [[ivfBuild]]'s cells at scale —
+    * pass its `cell` column); the oracled query uses the argmax dimension
+    * (deterministic and SQL-expressible) so survivors verify exactly.
+    *
+    * Scale shape: the all-pairs comparison is confined WITHIN clusters —
+    * the SemDeDup contract (cluster count scales with the corpus, so
+    * cluster SIZE stays bounded; k-means with k ∝ N/1000 caps the per-key
+    * quadratic at ~10^6 cosines). The join shuffles (id, cluster, vector)
+    * rows hashed by cluster — never document text — and the loser set
+    * anti-joins back on the id alone. Degenerate clusterings (one giant
+    * cluster) are the caller's k-means quality problem, same contract as
+    * [[DedupOps.minhashNearDups]]'s `maxBucket`.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               clusterCol: Column, tau: Double): DataFrame = {
+    // normalize ONCE per row, not per pair — the per-pair work inside a
+    // cluster is then a bare dot product (3x fewer flops through the
+    // quadratic join). A zero-norm vector stays all-zero: its dot with
+    // anything is 0, never above tau — identical to cosine's 0 contract.
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val nrm = sqrt(aggregate(vd, lit(0.0), (a, x) => a + x * x))
+    val sides = df.select(col(idCol).cast("long").as("__sid"),
+        clusterCol.as("__cl"), vd.as("__vd"), nrm.as("__n"))
+      .where(col("__cl").isNotNull)
+      .select(col("__sid"), col("__cl"),
+        when(col("__n") === 0.0, col("__vd"))
+          .otherwise(TextOps.bindOnce(col("__n"))(n =>
+            transform(col("__vd"), x => x / n))).as("__v"))
+    val dot = aggregate(zip_with(col("a.__v"), col("b.__v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val losers = sides.as("a")
+      .join(sides.as("b"),
+        col("a.__cl") === col("b.__cl") && col("a.__sid") < col("b.__sid"))
+      .filter(dot > tau)
+      .select(col("b.__sid").as("__loser")).distinct()
+    df.join(losers, col(idCol).cast("long") === col("__loser"), "left_anti")
+  }
 }

@@ -71,6 +71,87 @@ object ConvOps {
     * [[ConvAssembly.assemble]] — use [[ConvAssembly.assembleSalted]]'s
     * two-phase shape when turn-count skew is heavy.
     */
+  /** Content fingerprint of every conversation: md5 over the md5s of its
+    * turns in stable order — `(conv_id, n_turns, conv_fp)`. Two
+    * conversations match iff their ordered turn-content sequences match;
+    * absolute `turn_idx` VALUES don't matter, order does (a re-indexed
+    * copy is still a duplicate). NULL text hashes like empty text (the
+    * render contract: a null must not nullify the aggregate).
+    *
+    * Scale shape: each turn collapses to a 32-char hash MAP-SIDE, so the
+    * per-conversation aggregation state and the conv_id exchange carry
+    * 32 bytes per turn — never the text (a monster transcript shuffles
+    * kilobytes, not its gigabyte of content). Ties on duplicate turn_idx
+    * sort by the hash, keeping the fingerprint deterministic.
+    */
+  def convFingerprints(turns: DataFrame, textCol: String = "text"): DataFrame =
+    turns
+      .select(col("conv_id"), col("turn_idx"),
+        md5(coalesce(col(textCol), lit(""))).as("tfp"))
+      .groupBy("conv_id").agg(
+        count(lit(1)).as("n_turns"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("tfp")))),
+            s => s.getField("tfp")),
+          "")).as("conv_fp"))
+
+  /** Exact conversation dedup: keep only the turns of the first
+    * (min-conv_id) conversation per content fingerprint — the transcript
+    * analogue of [[graft.ops.DedupOps.exactDupReps]]. Returns the
+    * surviving rows of `turns` unchanged. The keeper derivation works on
+    * (conv_id, fp) rows only; the turn rows rejoin by conv_id (AQE
+    * broadcasts the keeper set when it fits, shuffle-joins otherwise).
+    */
+  def dedupConversations(turns: DataFrame, textCol: String = "text"): DataFrame = {
+    val keepers = convFingerprints(turns, textCol)
+      .groupBy("conv_fp").agg(min("conv_id").as("conv_id"))
+      .select("conv_id")
+    turns.join(keepers, Seq("conv_id"), "left_semi")
+  }
+
+  /** Near-duplicate conversation pairs by turn-content overlap:
+    * `(id_a, id_b, inter, union)` where Jaccard over the conversations'
+    * DISTINCT turn-fingerprint sets ≥ `threshold` and id_a < id_b —
+    * re-orderings, partial edits, and re-indexed copies all surface (the
+    * review-thread / retry-storm shape exact dedup misses). Output stays
+    * integer-exact; the threshold test is `inter ≥ threshold·union`.
+    *
+    * This is the EXACT path, not a sketch: a conversation has 10–10⁴
+    * turns, so the per-conv set is tiny and the fp equi-join is the right
+    * scale shape (contrast [[graft.ops.DedupOps.minhashNearDups]], where
+    * document shingle sets force MinHash). Only (conv_id, 32-char fp)
+    * rows ever shuffle. `maxTurnDf` drops turn fingerprints appearing in
+    * more conversations than the cap before the self-join — the viral
+    * boilerplate turn ("ok", empty) whose bucket would otherwise go
+    * quadratic, same contract as minhash's `maxBucket`.
+    */
+  def convNearDups(turns: DataFrame, textCol: String = "text",
+                   threshold: Double = 0.5,
+                   maxTurnDf: Int = Int.MaxValue): DataFrame = {
+    val tf = turns.select(col("conv_id"),
+      md5(coalesce(col(textCol), lit(""))).as("tfp")).distinct()
+    val kept =
+      if (maxTurnDf == Int.MaxValue) tf
+      else {
+        val dfc = tf.groupBy("tfp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxTurnDf)
+        tf.join(dfc, Seq("tfp")).drop("df")
+      }
+    val sizes = kept.groupBy("conv_id").agg(count(lit(1)).as("n"))
+    val inter = kept.as("a")
+      .join(kept.as("b"),
+        col("a.tfp") === col("b.tfp") && col("a.conv_id") < col("b.conv_id"))
+      .groupBy(col("a.conv_id").as("id_a"), col("b.conv_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("conv_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("conv_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("union", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") >= lit(threshold) * col("union"))
+      .select("id_a", "id_b", "inter", "union")
+  }
+
   def renderChatTemplate(turns: DataFrame, textCol: String = "text"): DataFrame =
     turns.groupBy("conv_id").agg(
       count(lit(1)).as("n_turns"),

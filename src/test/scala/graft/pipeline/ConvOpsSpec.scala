@@ -131,4 +131,94 @@ class ConvOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = ConvOps.convStats(corpus()).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"expected window-free plan:\n$plan")
   }
+
+  private def convRows(rows: Seq[(String, Int, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (c, i, t) => (c, i, "user", t, "none") }
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+  }
+
+  test("convFingerprints: order-sensitive, index-value-insensitive, null==empty") {
+    val fps = ConvOps.convFingerprints(convRows(Seq(
+        ("a", 0, "x"), ("a", 1, "y"),
+        ("b", 5, "x"), ("b", 9, "y"),   // re-indexed copy of a — same fp
+        ("c", 0, "y"), ("c", 1, "x"),   // same turns, swapped order — differs
+        ("d", 0, ""), ("e", 0, ""))))   // empty matches empty
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(fps("a") === fps("b"))
+    assert(fps("a") !== fps("c"))
+    assert(fps("d") === fps("e"))
+    val s = spark
+    import s.implicits._
+    val withNull = Seq(("f", 0, "user", Option.empty[String], "none"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val fNull = ConvOps.convFingerprints(withNull).collect().head.getString(2)
+    assert(fNull === fps("d"), "null text must fingerprint like empty text")
+  }
+
+  test("dedupConversations: first conv_id wins; distinct content survives") {
+    val t = convRows(Seq(
+      ("a", 0, "x"), ("a", 1, "y"),
+      ("b", 0, "x"), ("b", 1, "y"),   // dup of a — drops
+      ("c", 0, "x")))                 // distinct — survives
+    val kept = ConvOps.dedupConversations(t)
+      .select("conv_id").distinct().collect().map(_.getString(0)).toSet
+    assert(kept === Set("a", "c"))
+  }
+
+  test("convNearDups: hand-computed jaccard, threshold, and df-cut") {
+    // a={x,y,z,w}, b={x,y,z,q}: inter 3, union 5, j=0.6 -> pair at 0.5
+    // c={x}: j(a,c)=0.25 — below threshold
+    val t = convRows(Seq(
+      ("a", 0, "x"), ("a", 1, "y"), ("a", 2, "z"), ("a", 3, "w"),
+      ("b", 0, "x"), ("b", 1, "y"), ("b", 2, "z"), ("b", 3, "q"),
+      ("c", 0, "x")))
+    val got = ConvOps.convNearDups(t, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("a", "b", 3L, 5L)))
+    // df-cut: "x" appears in 3 convs; cap 2 removes it everywhere ->
+    // inter(a,b) drops to 2 of union 4, still 0.5; j(a,c) becomes 0/…
+    val cut = ConvOps.convNearDups(t, threshold = 0.5, maxTurnDf = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(cut.toSeq === Seq(("a", "b", 2L, 4L)))
+  }
+
+  test("convNearDups: duplicate turns collapse to the distinct fp set") {
+    // repeated identical turns count once per conversation (set semantics)
+    val t = convRows(Seq(
+      ("a", 0, "x"), ("a", 1, "x"), ("a", 2, "y"),
+      ("b", 0, "x"), ("b", 1, "y"), ("b", 2, "y")))
+    val got = ConvOps.convNearDups(t, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("a", "b", 2L, 2L))) // both sets are {x,y}
+  }
+
+  test("plan: conv fingerprint/near-dup exchanges never carry text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+      def walk(n: SparkPlan): Seq[SparkPlan] = {
+        val self = n match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case other => Seq(other)
+        }
+        self ++ n.children.flatMap(walk)
+      }
+      walk(p).collect { case s: ShuffleExchangeExec => s }
+    }
+    for (df <- Seq(ConvOps.convFingerprints(corpus()),
+        ConvOps.convNearDups(corpus()))) {
+      val ex = exchanges(df.queryExecution.executedPlan)
+      assert(ex.nonEmpty, "expected the conv_id/fp exchange")
+      for (e <- ex; attr <- e.output)
+        assert(attr.name != "text",
+          s"text crosses an exchange: ${e.output.mkString(", ")}")
+    }
+  }
 }

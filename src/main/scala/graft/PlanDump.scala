@@ -44,11 +44,22 @@ object PlanDump {
     dump("pruned_scan", SparkEntry.queries("q_topk_docs")(spark, sf))
     // on-disk ANN index serving plans: both must show non-empty
     // PartitionFilters (only probed cells / signature buckets are read)
-    val tmpIvf = java.nio.file.Files.createTempDirectory("graft_plan_ivf").toString
+    def scratch(name: String): String = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_plan_$name")
+      def purge(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(purge)
+        f.delete(): Unit
+      }
+      purge(d)
+      d.getAbsolutePath
+    }
+    val tmpIvf = scratch("ivf")
     SimOps.writeIvfIndex(SimOps.buildIvfIndex(e, nCells = 16), tmpIvf)
     dump("ivf_disk_query", SimOps.ivfQuery(SimOps.readIvfIndex(spark, tmpIvf),
       e.filter(col("vec_id") < 5), k = 3, nprobe = 4))
-    val tmpLsh = java.nio.file.Files.createTempDirectory("graft_plan_lsh").toString
+    val tmpLsh = scratch("lsh")
     SimOps.writeLshIndex(SimOps.buildLshIndex(e, bits = 6), tmpLsh)
     dump("lsh_disk_query", SimOps.lshQuery(SimOps.readLshIndex(spark, tmpLsh),
       e.filter(col("vec_id") < 5), k = 3))
@@ -77,8 +88,7 @@ object PlanDump {
     // corpus-scale band rows never shuffle; only candidate id pairs leave);
     // (2) verification stage — the corpus text scans must carry a
     // candidate-id broadcast LEFT-SEMI so shingling costs O(candidates).
-    val tmpInc = java.nio.file.Files.createTempDirectory("graft_plan_inc")
-      .toString + "/idx"
+    val tmpInc = scratch("inc") + "/idx"
     DedupOps.writeMinhashIndex(docs, "doc_id", "text", tmpInc,
       k = 3, numHashes = 64, bands = 16)
     val incBatch = docs.filter(col("doc_id") < 20)

@@ -77,6 +77,23 @@ object SparkEntry {
     * user/assistant cleanly (0 violations), even ones repeat assistant
     * once per cycle (violations > 0); every 7th doc is an empty turn.
     */
+  /** Fixed scratch dir for queries that exercise on-disk index round
+    * trips: one stable path per query name, deleted up front — repeated
+    * verify/bench ladder runs overwrite instead of accumulating a fresh
+    * corpus-sized index directory in the tmpdir per invocation.
+    */
+  private def scratchDir(name: String): String = {
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_scratch_$name")
+    def purge(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(purge)
+      f.delete(): Unit
+    }
+    purge(d)
+    d.getAbsolutePath
+  }
+
   private def convTurns(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       concat(lit("c"), lpad((col("doc_id") % 40).cast("string"), 2, "0")).as("conv_id"),
@@ -1034,8 +1051,7 @@ object SparkEntry {
       val d = docs(s, dir).select("doc_id", "text")
       val batch = d.filter(col("doc_id") < 50)
         .select((col("doc_id") + 500000).as("doc_id"), col("text"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_incdedup_q").toString + "/idx"
+      val tmp = scratchDir("incdedup_q") + "/idx"
       DedupOps.writeMinhashIndex(d, "doc_id", "text", tmp,
         k = 3, numHashes = 512, bands = 64)
       DedupOps.incrementalNearDups(batch, "doc_id", "text", tmp, d,
@@ -1052,8 +1068,7 @@ object SparkEntry {
       // internal twin pair (800000/800001 — first id wins). Survivors are
       // independently derivable from doc_id arithmetic alone.
       val d = docs(s, dir).select("doc_id", "text")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_fpidx_q").toString + "/idx"
+      val tmp = scratchDir("fpidx_q") + "/idx"
       DedupOps.writeFingerprintIndex(d, "doc_id", "text", tmp)
       val lo = d.filter(col("doc_id") < 25)
       val batch = lo.select((col("doc_id") + 600000).as("doc_id"), col("text"))
@@ -1102,7 +1117,7 @@ object SparkEntry {
       // partitioned by cell, reopen, query with partition-pruned scans —
       // same planted-twin recall oracle as q_ann_ivf
       val e = emb(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+      val tmp = scratchDir("ivf_q")
       SimOps.writeIvfIndex(SimOps.buildIvfIndex(e, nCells = 16), tmp)
       SimOps.ivfQuery(SimOps.readIvfIndex(s, tmp), twinQueries(e), k = 1, nprobe = 4)
         .select("query_id", "neighbor_id", "rank")
@@ -1115,7 +1130,7 @@ object SparkEntry {
       // partition-pruned scans — same planted-twin recall oracle as
       // q_ann_lsh (the disk round-trip must not change a single answer)
       val e = emb(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_q").toString
+      val tmp = scratchDir("lsh_q")
       SimOps.writeLshIndex(SimOps.buildLshIndex(e, bits = 6), tmp)
       SimOps.lshQuery(SimOps.readLshIndex(s, tmp), twinQueries(e), k = 1)
         .select("query_id", "neighbor_id", "rank")
@@ -2204,9 +2219,11 @@ object SparkEntry {
         |) ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_unseen" ->
-      """WITH f AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+      """WITH f AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE doc_id < 10),
         |k AS (SELECT doc_id FROM f a WHERE NOT EXISTS (
-        |        SELECT 1 FROM f b WHERE b.text = a.text AND b.doc_id < a.doc_id))
+        |        SELECT 1 FROM f b WHERE b.norm = a.norm AND b.doc_id < a.doc_id))
         |SELECT doc_id FROM (
         |  SELECT doc_id + 700000 AS doc_id FROM k
         |  UNION ALL SELECT cast(800000 AS bigint)

@@ -1247,6 +1247,39 @@ object DedupOps {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
+
+  // The commit protocol, in ONE place for both index families (MinHash
+  // bands and exact fingerprints): a batch exists iff its root marker
+  // does. Readers list markers; writers guard the label and create the
+  // marker only after the batch directory is fully written.
+  private val CommittedPrefix = "_COMMITTED_"
+  private def committedLabels(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path,
+                              dir: String): Seq[String] = {
+    val labels = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith(CommittedPrefix) =>
+        n.stripPrefix(CommittedPrefix) }
+      .toSeq
+    require(labels.nonEmpty, s"no committed batches in index $dir")
+    labels
+  }
+  /** Validate a fresh batch label; returns the marker path to create once
+    * the batch directory is fully written.
+    */
+  private def freshMarker(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path, label: String,
+                          dir: String): org.apache.hadoop.fs.Path = {
+    require(label.matches("[A-Za-z0-9._-]+"), s"unsafe batch label: '$label'")
+    val marker = new org.apache.hadoop.fs.Path(root, CommittedPrefix + label)
+    require(!fs.exists(marker), s"batch '$label' is already committed in $dir")
+    marker
+  }
+  private def writeIndexParams(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, k: Int, numHashes: Int,
+                               bands: Int): Unit =
+    spark.createDataFrame(Seq((k, numHashes, bands)))
+      .toDF("k", "num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$dir/$IdxParams")
   private def bandedRows(df: DataFrame, idCol: String, textCol: String,
                          k: Int, numHashes: Int, bands: Int): DataFrame = {
     val sig = df.select(col(idCol).cast("long").as("id"),
@@ -1269,9 +1302,7 @@ object DedupOps {
     // would otherwise mix incomparable band hashes into later queries
     val (fs, root) = idxFs(spark, dir)
     if (fs.exists(root)) fs.delete(root, true)
-    spark.createDataFrame(Seq((k, numHashes, bands)))
-      .toDF("k", "num_hashes", "bands")
-      .write.mode("overwrite").parquet(s"$dir/$IdxParams")
+    writeIndexParams(spark, dir, k, numHashes, bands)
     appendMinhashIndex(df, idCol, textCol, dir, label)
   }
 
@@ -1283,11 +1314,9 @@ object DedupOps {
     */
   def appendMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                          dir: String, label: String): Unit = {
-    require(label.matches("[A-Za-z0-9._-]+"), s"unsafe batch label: '$label'")
     val spark = df.sparkSession
     val (fs, root) = idxFs(spark, dir)
-    val marker = new org.apache.hadoop.fs.Path(root, s"_COMMITTED_$label")
-    require(!fs.exists(marker), s"batch '$label' is already committed in $dir")
+    val marker = freshMarker(fs, root, label, dir)
     val (k, numHashes, bands) = readMinhashIndexParams(spark, dir)
     bandedRows(df, idCol, textCol, k, numHashes, bands)
       .write.mode("overwrite").parquet(s"$dir/$IdxBanded/batch=$label")
@@ -1307,10 +1336,7 @@ object DedupOps {
   private def committedBanded(spark: org.apache.spark.sql.SparkSession,
                               dir: String): DataFrame = {
     val (fs, root) = idxFs(spark, dir)
-    val committed = fs.listStatus(root).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_COMMITTED_") => n.stripPrefix("_COMMITTED_") }
-      .toSeq
-    require(committed.nonEmpty, s"no committed batches in index $dir")
+    val committed = committedLabels(fs, root, dir)
     spark.read.parquet(s"$dir/$IdxBanded")
       .filter(col("batch").isin(committed: _*))
       .select("id", "band", "bucket")
@@ -1340,16 +1366,26 @@ object DedupOps {
     *
     * Ids must be unique across corpus ∪ batch (re-submitting an indexed id
     * yields self-pairs, which are excluded, not detected as updates).
+    *
+    * `corpusText` contract: it must contain (at least) every INDEXED id's
+    * text — a candidate pair whose indexed side is missing from
+    * `corpusText` silently verifies to nothing and the duplicate ships
+    * (a stale index after deletes is the caller's retention problem, not
+    * detectable here without scanning the corpus). It MAY also already
+    * contain the batch rows (e.g. "all texts" tables): the id-level
+    * dedup below collapses the operator's own batch union, so no pair is
+    * ever emitted twice.
     */
   def incrementalNearDups(batch: DataFrame, idCol: String, textCol: String,
                           indexDir: String, corpusText: DataFrame,
                           threshold: Double = 0.8,
                           maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (k, numHashes, bands) =
+      readMinhashIndexParams(batch.sparkSession, indexDir)
     // eager: the candidate pair set is consumed twice below (id pruning +
     // verification) and is batch-bounded — never recompute the band joins
-    val cands = incrementalCandidates(batch, idCol, textCol, indexDir,
-      maxBucket).localCheckpoint(true)
-    val (k, _, _) = readMinhashIndexParams(batch.sparkSession, indexDir)
+    val cands = incrementalCandidatesP(batch, idCol, textCol, indexDir,
+      maxBucket, k, numHashes, bands).localCheckpoint(true)
     // prune the corpus to candidate ids BEFORE shingling: verification must
     // cost O(candidates), not a full-corpus shingle pass — at 10^12 docs a
     // 10^6-row batch touches ~10^6 corpus rows, and the broadcast semi-join
@@ -1359,6 +1395,10 @@ object DedupOps {
     val texts = corpusText.select(col(idCol).cast("long").as(idCol), col(textCol))
       .union(batch.select(col(idCol).cast("long").as(idCol), col(textCol)))
       .join(broadcast(candIds), col(idCol) === col("__cid"), "left_semi")
+      // candidate-bounded by the semi-join, so this dedup is cheap — and it
+      // makes a corpusText that already includes the batch rows safe
+      // (without it each batch-involving pair would verify twice)
+      .dropDuplicates(idCol)
     jaccardVerify(cands, texts, idCol, textCol, k)
       .filter(col("jaccard") >= threshold)
   }
@@ -1372,8 +1412,17 @@ object DedupOps {
   private[graft] def incrementalCandidates(batch: DataFrame, idCol: String,
                                            textCol: String, indexDir: String,
                                            maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (k, numHashes, bands) =
+      readMinhashIndexParams(batch.sparkSession, indexDir)
+    incrementalCandidatesP(batch, idCol, textCol, indexDir, maxBucket,
+      k, numHashes, bands)
+  }
+
+  private def incrementalCandidatesP(batch: DataFrame, idCol: String,
+                                     textCol: String, indexDir: String,
+                                     maxBucket: Int, k: Int, numHashes: Int,
+                                     bands: Int): DataFrame = {
     val spark = batch.sparkSession
-    val (k, numHashes, bands) = readMinhashIndexParams(spark, indexDir)
     val newBanded = bandedRows(batch, idCol, textCol, k, numHashes, bands)
       .localCheckpoint(true)
     val indexed0 = committedBanded(spark, indexDir)
@@ -1408,17 +1457,14 @@ object DedupOps {
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                           srcDir: String, destDir: String,
                           label: String = "compacted"): Unit = {
-    require(label.matches("[A-Za-z0-9._-]+"), s"unsafe batch label: '$label'")
     val (k, numHashes, bands) = readMinhashIndexParams(spark, srcDir)
     val (fs, root) = idxFs(spark, destDir)
     if (fs.exists(root)) fs.delete(root, true)
-    spark.createDataFrame(Seq((k, numHashes, bands)))
-      .toDF("k", "num_hashes", "bands")
-      .write.mode("overwrite").parquet(s"$destDir/$IdxParams")
+    val marker = freshMarker(fs, root, label, destDir)
+    writeIndexParams(spark, destDir, k, numHashes, bands)
     committedBanded(spark, srcDir)
       .write.mode("overwrite").parquet(s"$destDir/$IdxBanded/batch=$label")
-    fs.create(new org.apache.hadoop.fs.Path(root, s"_COMMITTED_$label"), true)
-      .close()
+    fs.create(marker, true).close()
   }
 
   // ---- incremental EXACT dedup: fingerprint index ------------------------
@@ -1448,10 +1494,8 @@ object DedupOps {
     */
   def appendFingerprintIndex(df: DataFrame, idCol: String, textCol: String,
                              dir: String, label: String): Unit = {
-    require(label.matches("[A-Za-z0-9._-]+"), s"unsafe batch label: '$label'")
     val (fs, root) = idxFs(df.sparkSession, dir)
-    val marker = new org.apache.hadoop.fs.Path(root, s"_COMMITTED_$label")
-    require(!fs.exists(marker), s"batch '$label' is already committed in $dir")
+    val marker = freshMarker(fs, root, label, dir)
     fpRows(df, idCol, textCol)
       .write.mode("overwrite").parquet(s"$dir/$IdxFp/batch=$label")
     fs.create(marker, true).close()
@@ -1474,10 +1518,7 @@ object DedupOps {
                    indexDir: String): DataFrame = {
     val spark = batch.sparkSession
     val (fs, root) = idxFs(spark, indexDir)
-    val committed = fs.listStatus(root).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_COMMITTED_") => n.stripPrefix("_COMMITTED_") }
-      .toSeq
-    require(committed.nonEmpty, s"no committed batches in index $indexDir")
+    val committed = committedLabels(fs, root, indexDir)
     val batchFp = fpRows(batch, idCol, textCol).localCheckpoint(true)
     val seen = spark.read.parquet(s"$indexDir/$IdxFp")
       .filter(col("batch").isin(committed: _*))

@@ -42,11 +42,19 @@ object LmOps {
     */
   def bigramLm(ref: DataFrame, textCol: String): (DataFrame, DataFrame, Long) = {
     val toks = ref.select(TextOps.tokens(lower(col(textCol))).as("ts"))
+    // eager localCheckpoint BOTH count tables: each is consumed again by
+    // every scoring join, and without it the reference corpus would be
+    // re-tokenized and re-aggregated per consumer (the vocab count below
+    // plus two joins in perplexityBits = 3 full reference passes). The
+    // checkpointed tables are model-sized (vocab/bigram counts), not
+    // corpus-sized.
     val bi = toks.select(explode(bigramsOf(col("ts"))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     val uni = toks.select(explode(col("ts")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
     val v = uni.count()
     (bi, uni, v)
   }
@@ -99,9 +107,13 @@ object LmOps {
     */
   private def unigramModel(corpus: DataFrame, textCol: String)
       : (DataFrame, Long, Long) = {
+    // checkpointed for the same reason as [[bigramLm]]: the N/V scalar
+    // action below plus the scoring join would otherwise each re-run the
+    // corpus pass — and here the raw-model corpus is the full crawl
     val uni = corpus
       .select(explode(TextOps.tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val agg = uni.agg(coalesce(sum("c"), lit(0L)), count(lit(1))).head
     (uni, agg.getLong(0), agg.getLong(1))
   }

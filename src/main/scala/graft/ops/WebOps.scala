@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object WebOps {
 
-  /** Lowercased host of a URL: the `://`-delimited authority with the
-    * port and any leading `www.` stripped. No-scheme or empty input → NULL
-    * (a hostless record can't be domain-filtered; callers decide its fate).
-    * Native regex end to end (Java-regex ∩ RE2 dialect, same discipline as
-    * [[TextOps.canonicalizeUrl]]) so the operator oracles exactly.
+  /** Lowercased host of a URL: the `://`-delimited authority with any
+    * userinfo (`user:pass@` — an evasion vector: `https://x@bad.com/`
+    * must still resolve to `bad.com`), the port, any leading `www.`, and
+    * any trailing FQDN dot (`bad.com.` ≡ `bad.com` in DNS — the other
+    * evasion vector) stripped. No-scheme or empty input → NULL (a
+    * hostless record can't be domain-filtered; callers decide its fate).
+    * Native regex end to end (Java-regex ∩ RE2 dialect, same discipline
+    * as [[TextOps.canonicalizeUrl]]) so the operator oracles exactly.
     */
   def urlHost(c: Column): Column = {
-    val h = lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
-    val noWww = regexp_replace(h, "^www\\.", "")
+    val h = lower(regexp_extract(c,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+    val noWww = regexp_replace(regexp_replace(h, "\\.$", ""), "^www\\.", "")
     when(length(noWww) > 0, noWww)
   }
 
@@ -31,15 +35,16 @@ object WebOps {
     * config error, not a filter. NULL host → NULL.
     */
   def hostSuffixes(host: Column): Column =
-    TextOps.bindOnce(split(host, "\\.")) { parts =>
-      // the >= 2 guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0])
-      // rather than returning empty, and slice rejects a 0 start — a
-      // single-label host (localhost) must yield [] explicitly
-      when(size(parts) >= 2,
-        transform(sequence(lit(1), size(parts) - 1),
-          i => array_join(slice(parts, i, size(parts)), ".")))
-        .otherwise(array().cast("array<string>"))
-    }
+    when(host.isNotNull,
+      TextOps.bindOnce(split(host, "\\.")) { parts =>
+        // the >= 2 guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0])
+        // rather than returning empty, and slice rejects a 0 start — a
+        // single-label host (localhost) must yield [] explicitly
+        when(size(parts) >= 2,
+          transform(sequence(lit(1), size(parts) - 1),
+            i => array_join(slice(parts, i, size(parts)), ".")))
+          .otherwise(array().cast("array<string>"))
+      })
 
   /** Drop every document whose URL's host equals a blocklisted domain or
     * sits under one as a subdomain; returns the surviving rows of `df`
@@ -68,7 +73,9 @@ object WebOps {
   def filterBlockedDomains(df: DataFrame, urlCol: String,
                            blocklist: DataFrame, domainCol: String = "domain",
                            maxBroadcastDomains: Long = 10000000L): DataFrame = {
-    val normDomain = regexp_replace(lower(trim(col(domainCol))), "^www\\.", "")
+    // same normalization as urlHost: trailing FQDN dot, then leading www.
+    val normDomain = regexp_replace(
+      regexp_replace(lower(trim(col(domainCol))), "\\.$", ""), "^www\\.", "")
     val domains = blocklist.select(normDomain.as("_graft_domain"))
       .where(length(col("_graft_domain")) > 0)
     val host = urlHost(col(urlCol))

@@ -39,7 +39,11 @@ class WebOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (6L, "relative/path/no/scheme"),          // null host -> passes through
       (7L, ""),                                 // null host -> passes through
       (8L, "https://localhost/l"),              // single label: no suffixes
-      (9L, "https://tracker.net/p#frag")        // blocked: second entry
+      (9L, "https://tracker.net/p#frag"),       // blocked: second entry
+      (10L, "https://anything@bad.com/e"),      // blocked: userinfo evasion
+      (11L, "https://u:p@bad.com/e"),           // blocked: user:pass evasion
+      (12L, "https://bad.com./e"),              // blocked: trailing-dot FQDN
+      (13L, "http://x@sub.bad.com.:8080/e")     // blocked: all three combined
     ).toDF("doc_id", "url").repartition(3)
   }
 
@@ -59,6 +63,22 @@ class WebOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L).contains("deep.a.b.bad.com"))
     assert(got(6L).isEmpty && got(7L).isEmpty)
     assert(got(8L).contains("localhost"))
+    // evasion vectors: userinfo (with and without password) and the
+    // trailing FQDN dot must all resolve to the bare registered host
+    assert(got(10L).contains("bad.com"))
+    assert(got(11L).contains("bad.com"))
+    assert(got(12L).contains("bad.com"))
+    assert(got(13L).contains("sub.bad.com"))
+  }
+
+  test("hostSuffixes of a NULL host is NULL, not an empty array") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(Option.empty[String], Option("a.b"))
+      .toDF("h").select(WebOps.hostSuffixes(col("h")).as("sufs"))
+      .collect().map(r => Option(r.get(0)))
+    assert(got(0).isEmpty, "NULL host must yield NULL (scaladoc contract)")
+    assert(got(1).nonEmpty)
   }
 
   test("hostSuffixes yields every >=2-label suffix; single label yields none") {
@@ -77,6 +97,20 @@ class WebOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = WebOps.filterBlockedDomains(urls(), "url", blocklist())
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(0L, 3L, 4L, 6L, 7L, 8L), got.toString)
+  }
+
+  test("a trailing-dot blocklist entry blocks the bare host too") {
+    val s = spark
+    import s.implicits._
+    val bl = Seq("bad.com.").toDF("domain")
+    val flat = Seq((0L, "https://bad.com/x"), (1L, "https://ok.com/y"))
+      .toDF("doc_id", "url")
+    for (cap <- Seq(Long.MaxValue, 0L)) {
+      val got = WebOps.filterBlockedDomains(flat, "url", bl,
+          maxBroadcastDomains = cap)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L), s"cap=$cap got=$got")
+    }
   }
 
   test("broadcast path equals the explode+join fallback exactly") {

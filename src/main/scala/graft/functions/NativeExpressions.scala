@@ -4,9 +4,10 @@ import graft.core._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helpers invoked from generated code (top-level Scala objects get
@@ -43,6 +44,26 @@ object NativeImpl {
       i += Character.charCount(cp)
     }
     h
+  }
+
+  /** Fused dot product of two array<double> columns: one pass, no
+    * intermediate array — the composed `aggregate(zip_with(a, b, *), +)`
+    * allocates a length-n array PER PAIR, which dominates a quadratic
+    * within-cluster similarity join. Accumulates left-to-right, exactly
+    * the HOF composition's order, so results are bit-identical (parity-
+    * tested). Contract: elements non-null; mismatched lengths use the
+    * shorter (a caller error in every similarity use).
+    */
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+          b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
   }
 }
 
@@ -108,6 +129,31 @@ case class BBCodeTagCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class ArrayDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array_dot requires two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeImpl.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeImpl.dot($a, $b)")
+  override def prettyName: String = "array_dot"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: either via `spark.sql.extensions=graft.functions.GraftExtensions`
   * on spark-submit, or [[GraftFunctions.register]] on a live session.
   */
@@ -137,6 +183,13 @@ object GraftFunctions {
     ("rollhash_native",
       new ExpressionInfo(classOf[RollHashExpr].getName, "rollhash_native"),
       (args: Seq[Expression]) => RollHashExpr(args.head)),
+    ("array_dot",
+      new ExpressionInfo(classOf[ArrayDotExpr].getName, "array_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"array_dot(a, b) takes 2 arguments, got ${args.length}")
+        ArrayDotExpr(args(0), args(1))
+      }),
     ("topk_by_score",
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
       (args: Seq[Expression]) => {

@@ -112,4 +112,25 @@ class NativeExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
         |   OR bbcode_to_html(t) <> bbcode_to_html_native(t)""".stripMargin).head().getLong(0)
     assert(diff == 0L)
   }
+
+  test("array_dot is bit-identical to aggregate(zip_with) and null-intolerant") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map(_ => (Array.fill(64)(rnd.nextGaussian()),
+      Array.fill(64)(rnd.nextGaussian())))
+    val df = rows.toDF("a", "b")
+    // bit-identical: same left-to-right accumulation order as the HOF
+    // composition, so == on doubles (not tolerance) is the right assert
+    val diff = df.selectExpr(
+        "array_dot(a, b) AS nd",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x) AS hd")
+      .filter(col("nd") =!= col("hd")).count()
+    assert(diff == 0L)
+    // null array propagates; mismatched lengths use the shorter prefix
+    val edge = spark.sql(
+      "SELECT array_dot(cast(null AS array<double>), array(1.0d)) AS n, " +
+        "array_dot(array(2.0d, 3.0d), array(10.0d)) AS short")
+      .head()
+    assert(edge.isNullAt(0) && edge.getDouble(1) == 20.0)
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helpers invoked from generated code (top-level Scala objects get
@@ -46,21 +46,43 @@ object NativeImpl {
     h
   }
 
-  /** Fused dot product of two array<double> columns: one pass, no
+  /** Fused dot product of two array<double|float> columns: one pass, no
     * intermediate array — the composed `aggregate(zip_with(a, b, *), +)`
     * allocates a length-n array PER PAIR, which dominates a quadratic
-    * within-cluster similarity join. Accumulates left-to-right, exactly
-    * the HOF composition's order, so results are bit-identical (parity-
-    * tested). Contract: elements non-null; mismatched lengths use the
-    * shorter (a caller error in every similarity use).
+    * within-cluster similarity join. Accumulates left-to-right with float
+    * elements widened to double BEFORE the multiply — exactly the HOF
+    * composition's `x.cast(double) * y.cast(double)` order — so results
+    * are bit-identical (parity-tested). Contract: elements non-null;
+    * mismatched lengths use the shorter (a caller error in every
+    * similarity use). The float flags are codegen-time literals, so the
+    * branches are free.
     */
   def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
-          b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+          b: org.apache.spark.sql.catalyst.util.ArrayData,
+          aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += a.getDouble(i) * b.getDouble(i)
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  /** Fused squared L2 norm — the `dot(a, a)` special case the cosine
+    * denominator needs, one array read per element.
+    */
+  def norm2(a: org.apache.spark.sql.catalyst.util.ArrayData,
+            aFloat: Boolean): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
       i += 1
     }
     acc
@@ -129,29 +151,57 @@ case class BBCodeTagCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class ArrayDotExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def nullIntolerant: Boolean = true
-  override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
+object ArrayDotExpr {
+  private[functions] def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private[functions] def checkVec(es: Expression*): TypeCheckResult = {
+    val ok = es.forall(_.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"array_dot requires two array<double> arguments, got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+      "expected array<double>/array<float> arguments, got " +
+        es.map(_.dataType.simpleString).mkString("(", ", ", ")"))
   }
+}
+
+case class ArrayDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArrayDotExpr.checkVec(left, right)
+  private def lf = ArrayDotExpr.isFloat(left)
+  private def rf = ArrayDotExpr.isFloat(right)
   override def nullSafeEval(a: Any, b: Any): Any =
     NativeImpl.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lf, rf)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeImpl.dot($a, $b)")
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.NativeImpl.dot($a, $b, $lf, $rf)")
   override def prettyName: String = "array_dot"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDotExpr =
     copy(left = newLeft, right = newRight)
+}
+
+case class ArrayNorm2Expr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArrayDotExpr.checkVec(child)
+  private def cf = ArrayDotExpr.isFloat(child)
+  override def nullSafeEval(a: Any): Any =
+    NativeImpl.norm2(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cf)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.NativeImpl.norm2($a, $cf)")
+  override def prettyName: String = "array_norm2"
+  override protected def withNewChildInternal(newChild: Expression): ArrayNorm2Expr =
+    copy(child = newChild)
 }
 
 /** Registration: either via `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -189,6 +239,13 @@ object GraftFunctions {
         require(args.length == 2,
           s"array_dot(a, b) takes 2 arguments, got ${args.length}")
         ArrayDotExpr(args(0), args(1))
+      }),
+    ("array_norm2",
+      new ExpressionInfo(classOf[ArrayNorm2Expr].getName, "array_norm2"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"array_norm2(a) takes 1 argument, got ${args.length}")
+        ArrayNorm2Expr(args.head)
       }),
     ("topk_by_score",
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),

@@ -23,14 +23,18 @@ import org.apache.spark.sql.functions._
   *    scans only its bucket.
   */
 object SimOps {
-  /** Cosine similarity of two array<float/double> columns via native
-    * higher-order functions (zip_with + aggregate); stays inside codegen.
+  /** Cosine similarity of two array<float/double> columns via the fused
+    * native expressions (ArrayDotExpr / ArrayNorm2Expr): one pass per
+    * array, no per-pair intermediate arrays, bit-identical to the former
+    * `aggregate(zip_with(·,·,*))` composition (same left-to-right
+    * accumulation with floats widened before each multiply — parity-tested
+    * in NativeExpressionSpec and pinned by the ANN recall oracles).
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    import org.apache.spark.sql.GraftSqlBridge.{column => c, expression => e}
+    val dot = c(graft.functions.ArrayDotExpr(e(a), e(b)))
+    val na = sqrt(c(graft.functions.ArrayNorm2Expr(e(a))))
+    val nb = sqrt(c(graft.functions.ArrayNorm2Expr(e(b))))
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
 

@@ -133,4 +133,21 @@ class NativeExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head()
     assert(edge.isNullAt(0) && edge.getDouble(1) == 20.0)
   }
+
+  test("array_dot/array_norm2 on float arrays match the widened HOF composition") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map(_ => (Array.fill(64)(rnd.nextFloat() - 0.5f),
+      Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+    // the float elements must widen to double BEFORE each multiply —
+    // exactly `x.cast(double) * y.cast(double)` inside zip_with
+    val diff = df.selectExpr(
+        "array_dot(a, b) AS nd",
+        "aggregate(zip_with(a, b, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0.0 AS double), (acc, x) -> acc + x) AS hd",
+        "array_norm2(a) AS nn",
+        "aggregate(a, cast(0.0 AS double), (acc, v) -> acc + cast(v AS double) * cast(v AS double)) AS hn")
+      .filter(col("nd") =!= col("hd") || col("nn") =!= col("hn")).count()
+    assert(diff == 0L)
+  }
 }

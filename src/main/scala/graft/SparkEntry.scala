@@ -869,12 +869,16 @@ object SparkEntry {
       val planted = e.union(e.select((col("vec_id") + 100000).as("vec_id"),
           transform(col("v"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("v")))
         // norms computed once per ROW (not per pair): the per-pair work is
-        // just the dot product — 3x fewer flops through the nested-loop join
-        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+        // just the fused array_dot — no per-pair intermediate array
+        .withColumn("nrm", sqrt(org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.ArrayNorm2Expr(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("v"))))))
       val queries = broadcast(planted.filter(col("vec_id") < 100)
         .select(col("vec_id").as("id_a"), col("v").as("qv"), col("nrm").as("qn")))
-      val dot = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.ArrayDotExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("qv")),
+          org.apache.spark.sql.GraftSqlBridge.expression(col("v"))))
       queries.join(planted, col("id_a") < col("vec_id"))
         .withColumn("sim", when(col("qn") === 0.0 || col("nrm") === 0.0, lit(0.0))
           .otherwise(dot / (col("qn") * col("nrm"))))

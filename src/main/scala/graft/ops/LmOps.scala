@@ -101,6 +101,57 @@ object LmOps {
           .as("bits"))
   }
 
+  /** Collect a trained bigram model to driver maps for broadcast into a
+    * stateless stream filter — counted BEFORE collecting (the guarded-
+    * collect discipline of [[graft.streaming.StreamingExtract
+    * .decontaminateStream]]): an oversized model fails with a clear
+    * message instead of the driver OOM the guard exists to prevent. Batch
+    * scoring ([[perplexityBits]]) has no such bound — its joins complete
+    * at any model size.
+    */
+  def collectBigramModel(bigrams: DataFrame, unigrams: DataFrame,
+                         maxEntries: Long = 20000000L)
+      : (Map[(String, String), Long], Map[String, Long]) = {
+    val nBi = bigrams.count()
+    val nUni = unigrams.count()
+    require(nBi + nUni <= maxEntries,
+      s"LM model has ${nBi + nUni} count entries > $maxEntries — too large " +
+        "to broadcast to a stream filter; score in batch (perplexityBits) " +
+        "or raise the bound deliberately")
+    (bigrams.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap,
+      unigrams.collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+  }
+
+  /** Driver/executor-side scalar mirror of [[perplexityBits]]: same
+    * tokenization, same per-term 6-decimal rounding, same exact decimal
+    * sum, same 4-decimal mean — exact-equality-tested against the batch
+    * scorer in LmOpsSpec so stream and batch agree on every document.
+    * None ⇔ the batch scorer's NULL (< 2 tokens).
+    */
+  private[graft] def bitsLocal(text: String, bi: Map[(String, String), Long],
+                               uni: Map[String, Long],
+                               vocab: Long): Option[Double] = {
+    if (text == null) return None
+    val t = text.toLowerCase(java.util.Locale.ROOT).trim
+    if (t.isEmpty) return None
+    val toks = t.split("\\s+")
+    if (toks.length < 2) return None
+    var sum = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < toks.length - 1) {
+      val c12 = bi.getOrElse((toks(i), toks(i + 1)), 0L)
+      val c1 = uni.getOrElse(toks(i), 0L)
+      val p = (c12 + 1.0) / (c1 + vocab.toDouble)
+      val term = -(math.log(p) / math.log(2.0))
+      sum = sum.add(java.math.BigDecimal.valueOf(term)
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    val n = toks.length - 1
+    Some(java.math.BigDecimal.valueOf(sum.doubleValue() / n)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+  }
+
   /** Add-one-smoothed unigram counts + total + vocab of a corpus — one
     * explode → hash-agg pass; the two scalar actions scan only the count
     * table, never the text.

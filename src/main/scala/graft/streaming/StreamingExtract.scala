@@ -111,6 +111,34 @@ object StreamingExtract {
       .as[Turn]
   }
 
+  /** Stateless streaming LM-quality filter: keep turns whose bits-per-token
+    * under the reference bigram model is ≤ `maxBits`. The model tables are
+    * collected ONCE with [[graft.ops.LmOps.collectBigramModel]]'s
+    * counted-first guard and broadcast — no state store, no shuffle, safe
+    * at any stream rate; batch scoring stays the path for oversized
+    * models. Turns with fewer than two tokens carry no bigram evidence and
+    * are KEPT (the batch scorer's NULL contract — gate them on other
+    * signals); the scalar scorer is exact-equality-locked to
+    * [[graft.ops.LmOps.perplexityBits]], so stream and batch agree on
+    * every document.
+    */
+  def perplexityFilterStream(turns: Dataset[Turn], bigrams: DataFrame,
+                             unigrams: DataFrame, vocab: Long,
+                             maxBits: Double,
+                             maxModelEntries: Long = 20000000L): Dataset[Turn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val (biM, uniM) =
+      graft.ops.LmOps.collectBigramModel(bigrams, unigrams, maxModelEntries)
+    val bcBi = spark.sparkContext.broadcast(biM)
+    val bcUni = spark.sparkContext.broadcast(uniM)
+    val keep = udf { (text: String) =>
+      graft.ops.LmOps.bitsLocal(text, bcBi.value, bcUni.value, vocab)
+        .forall(_ <= maxBits)
+    }
+    turns.toDF().filter(keep(col("text"))).as[Turn]
+  }
+
   /** One banded MinHash row of a streaming document (the shuffle unit of
     * [[nearDupStream]]): the full signature rides along so candidate pairs
     * are verified in-state by estimated Jaccard instead of a second

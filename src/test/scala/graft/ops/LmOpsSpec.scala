@@ -71,6 +71,35 @@ class LmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fluent ${out(1L)} should beat gibberish ${out(2L)}")
   }
 
+  test("bitsLocal mirrors perplexityBits EXACTLY (the stream/batch contract)") {
+    val rnd = new scala.util.Random(3)
+    val vocabWords = Vector("the", "cat", "sat", "mat", "dog", "ran", "to", "a")
+    val mk = () => (0 until 12).map(_ => vocabWords(rnd.nextInt(vocabWords.size))).mkString(" ")
+    val ref = spark.createDataFrame((0 until 40).map(i => (i.toLong, mk())))
+      .toDF("id", "text")
+    val docs = spark.createDataFrame(
+      (0 until 30).map(i => (i.toLong, mk())) ++ Seq(
+        (100L, "zq unseen words here"), (101L, "one"), (102L, "")))
+      .toDF("id", "text")
+    val (bi, uni, v) = LmOps.bigramLm(ref, "text")
+    val batch = LmOps.perplexityBits(docs, "id", "text", bi, uni, v)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val (biM, uniM) = LmOps.collectBigramModel(bi, uni)
+    for ((id, text) <- docs.collect().map(r => (r.getLong(0), r.getString(1)))) {
+      assert(LmOps.bitsLocal(text, biM, uniM, v) === batch(id),
+        s"stream/batch divergence on doc $id: '$text'")
+    }
+  }
+
+  test("collectBigramModel fails fast on an over-limit model") {
+    val ref = spark.createDataFrame(Seq((1L, "a b c d e f g h")))
+      .toDF("id", "text")
+    val (bi, uni, _) = LmOps.bigramLm(ref, "text")
+    intercept[IllegalArgumentException] {
+      LmOps.collectBigramModel(bi, uni, maxEntries = 3)
+    }
+  }
+
   test("dsirLogRatio: hand-computed ratio; target-like text weighs positive") {
     val target = spark.createDataFrame(Seq((1L, "a a"))).toDF("id", "text")
     val raw = spark.createDataFrame(Seq((1L, "a a"), (2L, "b"))).toDF("id", "text")

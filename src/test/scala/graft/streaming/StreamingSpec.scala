@@ -347,6 +347,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally if (q.isActive) q.stop()
   }
 
+  test("streaming LM filter drops gibberish, keeps fluent and evidence-free turns") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = spark.createDataFrame((0 until 30).map(i =>
+        (i.toLong, "the cat sat on the mat and the dog ran to the cat")))
+      .toDF("id", "text")
+    val (bi, uni, v) = graft.ops.LmOps.bigramLm(ref, "text")
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract
+      // vocab is 9 words, so the add-one floor for an unseen context is
+      // -log2(1/9) ≈ 3.17 bits; fluent in-domain text scores ≈ 1.0
+      .perplexityFilterStream(input.toDS(), bi, uni, v, maxBits = 2.0)
+      .writeStream.format("memory").queryName("lmfilter_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(conv: String, text: String, off: Long) =
+        Turn(conv, 0, "user", text, "", new Timestamp(1700000000000L + off))
+      input.addData(
+        t("fluent", "the cat sat on the mat", 0),
+        t("gibberish", "zq xv qqj wmpf zzt yyr qwe asd", 1))
+      q.processAllAvailable()
+      input.addData(
+        t("fluent2", "the dog ran to the cat", 2),
+        t("oneword", "hi", 3)) // no bigram evidence -> kept (NULL contract)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("lmfilter_out").collect()
+        .map(_.getAs[String]("conv_id")).toSet
+      assert(got == Set("fluent", "fluent2", "oneword"), got.mkString(","))
+    } finally if (q.isActive) q.stop()
+  }
+
   test("streaming decontamination fails fast on an over-limit bench set") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -135,6 +135,121 @@ public class FixtureGen {
   }
 
   public static void main(String[] args) {
+    // batch selection: no args = batch1 only (historical reproduction);
+    // "batch2" emits only the round-5 second wave (ids 501000+) so the
+    // corpus file can be APPENDED without duplicating earlier rows.
+    List<String> sel = Arrays.asList(args);
+    if (sel.isEmpty() || sel.contains("batch1")) batch1();
+    if (sel.contains("batch2")) { id = 501000; batch2(); }
+  }
+
+  static void batch2() {
+    List<String> inputs = new ArrayList<>();
+
+    // 1. multibyte/astral torture: the offset arithmetic must count Java
+    // chars (surrogate pairs are 2), and escape offsets must survive
+    // multibyte prefixes
+    String smile = "😀"; // 😀 (astral, 2 chars)
+    String cjk = "日本語";
+    String combining = "é́"; // e + two combining acutes
+    inputs.add("[b]" + smile + "[/b]");
+    inputs.add(smile + "[size=9]x[/size]");
+    inputs.add("[t a=\"" + cjk + "\"]x[/t]");
+    inputs.add("[" + cjk + "]x[/" + cjk + "]");
+    inputs.add(smile + "\r\n&" + smile + "<");
+    inputs.add("[b]" + combining + "&[/b]");
+    inputs.add("[quote=" + smile + "]x[/quote]");
+    inputs.add(smile + smile + smile + "[emoji]" + smile);
+    inputs.add("[code]" + smile + "&<[/code]");
+
+    // 2. nested/attributed quote stacks
+    inputs.add("[quote=alice][quote=bob]x[/quote][/quote]");
+    inputs.add("[quote=\"a b\"][quote]y[/quote][/quote]");
+    inputs.add("[quote=a][b]z[/quote][/b]");
+
+    // 3. preformatted bodies holding tag-like fragments
+    inputs.add("[noparse][b][/noparse]");
+    inputs.add("[noparse][/code][/noparse]");
+    inputs.add("[code][code][/code]");
+    inputs.add("[code]x[/code ]");
+    inputs.add("[code][/c[/code]");
+    inputs.add("[noparse][noparse][/noparse][/noparse]");
+    inputs.add("[code]a[/code][code]b[/code]");
+
+    // 4. simple-attribute edge shapes
+    inputs.add("[t=v a=b]x[/t]");
+    inputs.add("[url=http://e.com?a=1&b=2]x[/url]");
+    inputs.add("[t==]x[/t]");
+    inputs.add("[t=]x[/t]");
+    inputs.add("[t='a=b']x[/t]");
+    inputs.add("[size=9][size=10]x[/size][/size]");
+
+    // 5. bracket fragments at boundaries
+    inputs.add("[");
+    inputs.add("]");
+    inputs.add("[/");
+    inputs.add("[//]");
+    inputs.add("[b/]");
+    inputs.add("x[");
+    inputs.add("[b]x[");
+    inputs.add("[b]x[/");
+    inputs.add("[[b]]x[[/b]]");
+
+    // 6. HTML second wave: raw-text/void/malformed-nesting families
+    inputs.add("<style>a{b:c}</style>x");
+    inputs.add("<title><b></title>");
+    inputs.add("<b><i></b></i>");
+    inputs.add("<table><tr><td>x");
+    inputs.add("<p/ >x");
+    inputs.add("<a href onclick>x</a>");
+    inputs.add("<img src=x alt>");
+    inputs.add("&#60;b&#62;x");
+    inputs.add("<div>" + smile + "</div>");
+    inputs.add("<p title=\"" + cjk + "\">x</p>");
+    StringBuilder deep = new StringBuilder();
+    for (int i = 0; i < 30; i++) deep.append("<div>");
+    deep.append("x");
+    for (int i = 0; i < 30; i++) deep.append("</div>");
+    inputs.add(deep.toString());
+
+    // 7. long mixed documents (escape+tag machinery over 10k chars)
+    StringBuilder longDoc = new StringBuilder();
+    for (int i = 0; i < 400; i++)
+      longDoc.append("para ").append(i).append(" &<> [b]x[/b]\r\n");
+    inputs.add(longDoc.toString());
+
+    // 8. seeded random soup, new seed, multibyte tokens in the alphabet
+    Random rnd = new Random(20260818L);
+    String[] toks = {"[b]", "[/b]", "[*]", "[list]", "[/list]", "[code]",
+      "[/code]", "[quote=a]", "[/quote]", "\"", "=", "]", "[", "\r\n",
+      smile, cjk, "&", "<", ">", "'", " ", "x", "[noparse]", "[/noparse]"};
+    for (int s = 0; s < 40; s++) {
+      int len = 8 + rnd.nextInt(40);
+      StringBuilder sb = new StringBuilder();
+      for (int i = 0; i < len; i++) sb.append(toks[rnd.nextInt(toks.length)]);
+      inputs.add(sb.toString());
+    }
+
+    emitMatrix(inputs);
+  }
+
+  static void emitMatrix(List<String> inputs) {
+    LinkedHashSet<String> uniq = new LinkedHashSet<>(inputs);
+    Map<String, TagAttributes> canon = canonical();
+    Map<String, TagAttributes> none = new HashMap<>();
+    Map<String, TagAttributes> nb = nobr();
+    for (String in : uniq) {
+      emit("bbcode", "canonical", in, canon);
+      emit("bbcode", "empty", in, none);
+      if (in.contains("\n") || in.contains("\r")) emit("bbcode", "nobr", in, nb);
+      if (in.contains("<")) {
+        emit("html", "empty", in, none);
+        emit("html", "canonical", in, canon);
+      }
+    }
+  }
+
+  static void batch1() {
     List<String> inputs = new ArrayList<>();
 
     // 1. tag-name torture: short/symbolic/mixed-case names and closers

@@ -52,15 +52,21 @@ object NativeImpl {
     * within-cluster similarity join. Accumulates left-to-right with float
     * elements widened to double BEFORE the multiply — exactly the HOF
     * composition's `x.cast(double) * y.cast(double)` order — so results
-    * are bit-identical (parity-tested). Contract: elements non-null;
-    * mismatched lengths use the shorter (a caller error in every
-    * similarity use). The float flags are codegen-time literals, so the
-    * branches are free.
+    * are bit-identical (parity-tested). Corrupt input — mismatched
+    * lengths or a null element — evaluates to SQL NULL, exactly what the
+    * composition produced (zip_with pads the shorter side with nulls):
+    * a corrupt embedding can never mark a real document as a duplicate
+    * loser, and is never silently scored over a shared prefix. NOT NaN —
+    * Spark SQL orders NaN ABOVE every number, so `NaN > tau` is TRUE and
+    * a NaN sentinel would flip corrupt pairs into losers. The validity
+    * pre-check ([[defined1]]/[[defined2]]) keeps the happy path
+    * primitive (no boxing); its null scan is skipped entirely when the
+    * array type says `containsNull=false` (a codegen-time literal).
     */
   def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
           b: org.apache.spark.sql.catalyst.util.ArrayData,
           aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -73,7 +79,8 @@ object NativeImpl {
   }
 
   /** Fused squared L2 norm — the `dot(a, a)` special case the cosine
-    * denominator needs, one array read per element.
+    * denominator needs, one array read per element. Same NULL-on-corrupt
+    * contract as [[dot]] via [[defined1]].
     */
   def norm2(a: org.apache.spark.sql.catalyst.util.ArrayData,
             aFloat: Boolean): Double = {
@@ -87,6 +94,24 @@ object NativeImpl {
     }
     acc
   }
+
+  def defined1(a: org.apache.spark.sql.catalyst.util.ArrayData,
+               mayContainNull: Boolean): Boolean = {
+    if (!mayContainNull) return true
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  def defined2(a: org.apache.spark.sql.catalyst.util.ArrayData,
+               b: org.apache.spark.sql.catalyst.util.ArrayData,
+               aMayNull: Boolean, bMayNull: Boolean): Boolean =
+    a.numElements() == b.numElements() &&
+      defined1(a, aMayNull) && defined1(b, bMayNull)
 }
 
 /** Native Catalyst expressions for the core transforms. Compared to a Scala
@@ -156,6 +181,10 @@ object ArrayDotExpr {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  private[functions] def mayContainNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
   private[functions] def checkVec(es: Expression*): TypeCheckResult = {
     val ok = es.forall(_.dataType match {
       case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
@@ -171,17 +200,29 @@ object ArrayDotExpr {
 case class ArrayDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def nullIntolerant: Boolean = true
+  // nullable beyond the children: corrupt input (length mismatch, null
+  // element) evaluates to NULL even when both arrays are non-null
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
     ArrayDotExpr.checkVec(left, right)
   private def lf = ArrayDotExpr.isFloat(left)
   private def rf = ArrayDotExpr.isFloat(right)
-  override def nullSafeEval(a: Any, b: Any): Any =
-    NativeImpl.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lf, rf)
+  private def ln = ArrayDotExpr.mayContainNull(left)
+  private def rn = ArrayDotExpr.mayContainNull(right)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (!NativeImpl.defined2(aa, bb, ln, rn)) null
+    else NativeImpl.dot(aa, bb, lf, rf)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.NativeImpl.dot($a, $b, $lf, $rf)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if (!graft.functions.NativeImpl.defined2($a, $b, $ln, $rn)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.NativeImpl.dot($a, $b, $lf, $rf);
+         |}""".stripMargin)
   override def prettyName: String = "array_dot"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDotExpr =
@@ -190,15 +231,24 @@ case class ArrayDotExpr(left: Expression, right: Expression)
 
 case class ArrayNorm2Expr(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
     ArrayDotExpr.checkVec(child)
   private def cf = ArrayDotExpr.isFloat(child)
-  override def nullSafeEval(a: Any): Any =
-    NativeImpl.norm2(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cf)
+  private def cn = ArrayDotExpr.mayContainNull(child)
+  override def nullSafeEval(a: Any): Any = {
+    val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (!NativeImpl.defined1(aa, cn)) null
+    else NativeImpl.norm2(aa, cf)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.NativeImpl.norm2($a, $cf)")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""if (!graft.functions.NativeImpl.defined1($a, $cn)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.NativeImpl.norm2($a, $cf);
+         |}""".stripMargin)
   override def prettyName: String = "array_norm2"
   override protected def withNewChildInternal(newChild: Expression): ArrayNorm2Expr =
     copy(child = newChild)

@@ -126,12 +126,24 @@ class NativeExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
         "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x) AS hd")
       .filter(col("nd") =!= col("hd")).count()
     assert(diff == 0L)
-    // null array propagates; mismatched lengths use the shorter prefix
+    // null array propagates; corrupt input (length mismatch, null
+    // element) is SQL NULL — the HOF composition's exact semantics; a
+    // corrupt pair must fall out of every `> tau` filter, never be
+    // silently scored over a shared prefix. NOT NaN: Spark orders NaN
+    // ABOVE every number, so a NaN sentinel would pass `> tau`
     val edge = spark.sql(
       "SELECT array_dot(cast(null AS array<double>), array(1.0d)) AS n, " +
-        "array_dot(array(2.0d, 3.0d), array(10.0d)) AS short")
+        "array_dot(array(2.0d, 3.0d), array(10.0d)) AS mismatch, " +
+        "array_dot(array(1.0d, cast(null AS double)), array(1.0d, 2.0d)) AS nullel, " +
+        "array_norm2(array(1.0d, cast(null AS double))) AS nullnorm")
       .head()
-    assert(edge.isNullAt(0) && edge.getDouble(1) == 20.0)
+    (0 to 3).foreach(i => assert(edge.isNullAt(i), s"col $i must be NULL"))
+    // and a NULL similarity falls out of a threshold filter (both in the
+    // constant-folded and the codegen'd non-literal path)
+    val pairs = spark.createDataFrame(Seq(
+      (Array(2.0, 3.0), Array(10.0)),
+      (Array(1.0, 0.0), Array(1.0, 0.0)))).toDF("a", "b")
+    assert(pairs.filter(expr("array_dot(a, b) > 0.5")).count() == 1L)
   }
 
   test("array_dot/array_norm2 on float arrays match the widened HOF composition") {

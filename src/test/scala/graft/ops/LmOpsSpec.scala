@@ -79,7 +79,12 @@ class LmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("id", "text")
     val docs = spark.createDataFrame(
       (0 until 30).map(i => (i.toLong, mk())) ++ Seq(
-        (100L, "zq unseen words here"), (101L, "one"), (102L, "")))
+        (100L, "zq unseen words here"), (101L, "one"), (102L, ""),
+        // engine-quirk cases: Spark trim strips ONLY spaces, split keeps
+        // trailing empties — so "\n"-terminated text gains an empty token
+        // and an extra (unseen) bigram that the mirror must also score
+        (103L, "the cat\n"), (104L, "\tthe dog"), (105L, "  the cat  "),
+        (106L, "\n"), (107L, "THE CAT SAT"), (108L, "the\tcat\nsat")))
       .toDF("id", "text")
     val (bi, uni, v) = LmOps.bigramLm(ref, "text")
     val batch = LmOps.perplexityBits(docs, "id", "text", bi, uni, v)

@@ -367,19 +367,6 @@ public class FixtureGen {
       inputs.add(sb.toString());
     }
 
-    // de-dup preserving order, then emit per config matrix
-    LinkedHashSet<String> uniq = new LinkedHashSet<>(inputs);
-    Map<String, TagAttributes> canon = canonical();
-    Map<String, TagAttributes> none = new HashMap<>();
-    Map<String, TagAttributes> nb = nobr();
-    for (String in : uniq) {
-      emit("bbcode", "canonical", in, canon);
-      emit("bbcode", "empty", in, none);
-      if (in.contains("\n") || in.contains("\r")) emit("bbcode", "nobr", in, nb);
-      if (in.contains("<")) {
-        emit("html", "empty", in, none);
-        emit("html", "canonical", in, canon);
-      }
-    }
+    emitMatrix(inputs);
   }
 }

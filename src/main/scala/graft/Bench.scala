@@ -36,7 +36,8 @@ object Bench {
     "q_dedup_keepers" -> 12.2, "q_dedup_keepers_by" -> 12.1, "q_dedup_lines_global" -> 2.2,
     "q_dedup_minhash" -> 7.6, "q_dedup_simhash" -> 4.0,
     "q_dedup_incremental" -> 4.7, "q_dedup_unseen" -> 1.6, "q_url_blocklist" -> 0.6,
-    "q_docs_perplexity" -> 5.6, "q_docs_dsir" -> 3.1, "q_dedup_semantic" -> 3.6,
+    "q_docs_perplexity" -> 5.6, "q_docs_perplexity3" -> 5.6,
+    "q_docs_dsir" -> 3.1, "q_dedup_semantic" -> 3.6,
     "q_conv_dedup" -> 1.8, "q_conv_neardup" -> 1.8,
     "q_docs_bigram_fam" -> 2.9,
     "q_docs_bpe_tokens" -> 0.7, "q_docs_chunks" -> 0.8, "q_docs_dedup_lines" -> 1.0,

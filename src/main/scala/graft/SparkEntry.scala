@@ -642,6 +642,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_docs_perplexity3" -> ((s, dir) => {
+      // order-n generalization at n=3 (CCNet ships 5-gram models): ctx is
+      // the space-joined (n-1)-gram, so the scoring join stays a
+      // single-key equi-join at any order. Same decimal determinism
+      val d = docs(s, dir)
+      val (ng, ctx, v) = LmOps.ngramLm(d, "text", n = 3)
+      LmOps.perplexityBitsN(d, "doc_id", "text", ng, ctx, v, n = 3)
+        .orderBy("doc_id")
+    }),
+
     "q_docs_dsir" -> ((s, dir) => {
       // DSIR importance weights: target model = docs with doc_id % 5 == 0
       // (the "clean" subset), raw model = the whole corpus; per-doc mean
@@ -1665,6 +1675,32 @@ object SparkEntry {
         |  FROM bi b LEFT JOIN bc USING (w1, w2) LEFT JOIN uc ON uc.w = b.w1),
         |g AS (SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY 1)
         |SELECT d.doc_id, cast(coalesce(g.n, 0) AS bigint) AS n_bigrams,
+        |  CASE WHEN coalesce(g.n, 0) > 0
+        |    THEN round(cast(g.s AS double) / g.n, 4) END AS bits
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_docs_perplexity3" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |tri AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS ctx, ts[i+2] AS w
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM toks)),
+        |nc AS (SELECT ctx, w, count(*) AS cn FROM tri GROUP BY 1, 2),
+        |cx AS (SELECT ctx, count(*) AS cc
+        |  FROM (SELECT ts[i] || ' ' || ts[i+1] AS ctx
+        |        FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks))
+        |  GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ts) AS w FROM toks)),
+        |terms AS (SELECT t.doc_id,
+        |    cast(round(-log2((coalesce(nc.cn, 0) + 1.0) /
+        |      (coalesce(cx.cc, 0) + (SELECT v FROM vv))), 6)
+        |      AS decimal(18,6)) AS t
+        |  FROM tri t LEFT JOIN nc USING (ctx, w) LEFT JOIN cx USING (ctx)),
+        |g AS (SELECT doc_id, count(*) AS n, sum(t) AS s FROM terms GROUP BY 1)
+        |SELECT d.doc_id, cast(coalesce(g.n, 0) AS bigint) AS n_ngrams,
         |  CASE WHEN coalesce(g.n, 0) > 0
         |    THEN round(cast(g.s AS double) / g.n, 4) END AS bits
         |FROM documents d LEFT JOIN g USING (doc_id)

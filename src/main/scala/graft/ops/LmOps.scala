@@ -101,6 +101,85 @@ object LmOps {
           .as("bits"))
   }
 
+  /** Order-n generalization of [[bigramLm]] (CCNet's production models
+    * are 5-gram): counts of (context, word) n-grams and of (n-1)-gram
+    * contexts, P(w | ctx) = (c_ngram + 1) / (c_ctx + V). Contexts are
+    * space-joined token strings, so the scoring joins stay single-key
+    * equi-joins at any order (token text cannot contain whitespace by
+    * construction of the tokenizer, so the join key is collision-free).
+    * `ngramLm(ref, col, 2)` builds exactly [[bigramLm]]'s model in the
+    * general shape. Returns (ngram counts (ctx, w, cn), context counts
+    * (ctx, cc), vocab size V) — both count tables eagerly checkpointed,
+    * same rationale as [[bigramLm]].
+    */
+  def ngramLm(ref: DataFrame, textCol: String, n: Int)
+      : (DataFrame, DataFrame, Long) = {
+    require(n >= 2, s"ngramLm needs order >= 2, got $n")
+    val toks = ref.select(TextOps.tokens(lower(col(textCol))).as("ts"))
+    val ng = toks.select(explode(ngramsOf(col("ts"), n)).as("g"))
+      .groupBy(col("g.ctx").as("ctx"), col("g.w").as("w"))
+      .agg(count(lit(1)).as("cn"))
+      .localCheckpoint(true)
+    val ctx = toks.select(explode(contextsOf(col("ts"), n)).as("ctx"))
+      .groupBy("ctx").agg(count(lit(1)).as("cc"))
+      .localCheckpoint(true)
+    val v = toks.select(explode(col("ts")).as("w")).distinct().count()
+    (ng, ctx, v)
+  }
+
+  /** (ctx, w) structs for order-n scoring: ctx = tokens i..i+n-2 joined
+    * with a space, w = token i+n-1; < n tokens → empty.
+    */
+  private def ngramsOf(toksExpr: Column, n: Int): Column =
+    TextOps.bindOnce(toksExpr) { toks =>
+      when(size(toks) < n, array().cast("array<struct<ctx:string,w:string>>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => struct(
+            concat_ws(" ", slice(toks, i, lit(n - 1))).as("ctx"),
+            element_at(toks, i + (n - 1)).as("w"))))
+    }
+
+  /** ALL (n-1)-gram occurrences — including the text-final one with no
+    * following word — matching [[bigramLm]]'s denominator convention
+    * (c1 is the TOTAL unigram count), so `ngramLm(ref, c, 2)` reproduces
+    * the bigram model's probabilities exactly (spec-pinned). Per-context
+    * probability mass can then sum below 1 at text boundaries; the
+    * add-one floor absorbs it, and the convention is shared with the
+    * oracle.
+    */
+  private def contextsOf(toksExpr: Column, n: Int): Column =
+    TextOps.bindOnce(toksExpr) { toks =>
+      when(size(toks) < n - 1, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 2)),
+          i => concat_ws(" ", slice(toks, i, lit(n - 1)))))
+    }
+
+  /** Order-n [[perplexityBits]]: `(id, n_ngrams, bits)`, same decimal
+    * determinism discipline, documents with < n tokens score NULL.
+    */
+  def perplexityBitsN(df: DataFrame, idCol: String, textCol: String,
+                      ngrams: DataFrame, contexts: DataFrame,
+                      vocabSize: Long, n: Int): DataFrame = {
+    require(n >= 2, s"perplexityBitsN needs order >= 2, got $n")
+    val grams = df
+      .select(col(idCol), explode_outer(
+        ngramsOf(TextOps.tokens(lower(col(textCol))), n)).as("g"))
+      .select(col(idCol), col("g.ctx").as("ctx"), col("g.w").as("w"))
+    val p = (coalesce(col("cn"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("cc"), lit(0L)) + lit(vocabSize.toDouble))
+    val term = round(-log2(p), 6).cast("decimal(18,6)")
+    grams
+      .join(ngrams, Seq("ctx", "w"), "left")
+      .join(contexts, Seq("ctx"), "left")
+      .groupBy(idCol)
+      .agg(count(col("w")).as("n_ngrams"),
+        sum(when(col("w").isNotNull, term)).as("bits_sum"))
+      .select(col(idCol), col("n_ngrams"),
+        when(col("n_ngrams") > 0,
+          round(col("bits_sum").cast("double") / col("n_ngrams"), 4))
+          .as("bits"))
+  }
+
   /** Collect a trained bigram model to driver maps for broadcast into a
     * stateless stream filter — counted BEFORE collecting (the guarded-
     * collect discipline of [[graft.streaming.StreamingExtract

@@ -71,6 +71,38 @@ class LmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fluent ${out(1L)} should beat gibberish ${out(2L)}")
   }
 
+  test("ngramLm(3): hand-computed trigram bits; <3 tokens NULL; n=2 == bigramLm") {
+    val ref = spark.createDataFrame(Seq((1L, "a b a b"))).toDF("id", "text")
+    val (ng, ctx, v) = LmOps.ngramLm(ref, "text", n = 3)
+    assert(v === 2)
+    val docs = spark.createDataFrame(Seq(
+      // contexts count EVERY 2-gram occurrence (bigram convention):
+      // cc("a b")=2 in "a b a b", so p = (1+1)/(2+2) -> 1.0 bit
+      (10L, "a b a"),
+      (11L, "a a a"),  // unseen ctx "a a": p=1/2 -> 1.0
+      (12L, "a b")     // <3 tokens -> NULL
+    )).toDF("id", "text")
+    val out = LmOps.perplexityBitsN(docs, "id", "text", ng, ctx, v, n = 3)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(10L) === ((1L, Some(1.0))))
+    assert(out(11L) === ((1L, Some(1.0))))
+    assert(out(12L) === ((0L, None)))
+    // the order-2 instance must reproduce bigramLm's scores exactly
+    val ref2 = spark.createDataFrame(Seq((1L, "a b a"), (2L, "b a")))
+      .toDF("id", "text")
+    val (bi, uni, v2) = LmOps.bigramLm(ref2, "text")
+    val (ng2, ctx2, v2n) = LmOps.ngramLm(ref2, "text", n = 2)
+    assert(v2 === v2n)
+    val d2 = spark.createDataFrame(Seq((1L, "a b a"), (2L, "z a"), (3L, "")))
+      .toDF("id", "text")
+    val a = LmOps.perplexityBits(d2, "id", "text", bi, uni, v2)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toMap
+    val b = LmOps.perplexityBitsN(d2, "id", "text", ng2, ctx2, v2n, n = 2)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toMap
+    assert(a === b)
+  }
+
   test("bitsLocal mirrors perplexityBits EXACTLY (the stream/batch contract)") {
     val rnd = new scala.util.Random(3)
     val vocabWords = Vector("the", "cat", "sat", "mat", "dog", "ran", "to", "a")

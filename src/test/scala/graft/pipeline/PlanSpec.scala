@@ -284,4 +284,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = df.queryExecution.executedPlan.toString()
     assert(s.contains("*("), s)
   }
+
+  test("LM scoring: count tables broadcast, text never crosses an exchange") {
+    import graft.ops.LmOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (bi, uni, v) = LmOps.bigramLm(docs, "text")
+    val scored = LmOps.perplexityBits(docs, "doc_id", "text", bi, uni, v)
+    val plan = collectPlan(scored.queryExecution.executedPlan)
+    // the two model joins must be broadcast (bounded clean-reference
+    // contract) — a shuffle join here re-partitions the scored corpus
+    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2, s"expected both count-table joins broadcast:\n$scored")
+    // the only exchange is the per-document aggregation, and it carries
+    // (doc_id, count, decimal sum) — never the text column
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected the per-doc aggregation exchange")
+    for (e <- exchanges; attr <- e.output)
+      assert(attr.name != "text",
+        s"text crosses an exchange: ${e.output.mkString(", ")}")
+  }
 }

@@ -41,37 +41,15 @@ object LmOps {
     * of integers, so scoring is reproducible across engines.
     */
   def bigramLm(ref: DataFrame, textCol: String): (DataFrame, DataFrame, Long) = {
-    val toks = ref.select(TextOps.tokens(lower(col(textCol))).as("ts"))
-    // eager localCheckpoint BOTH count tables: each is consumed again by
-    // every scoring join, and without it the reference corpus would be
-    // re-tokenized and re-aggregated per consumer (the vocab count below
-    // plus two joins in perplexityBits = 3 full reference passes). The
-    // checkpointed tables are model-sized (vocab/bigram counts), not
-    // corpus-sized.
-    val bi = toks.select(explode(bigramsOf(col("ts"))).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("c12"))
-      .localCheckpoint(true)
-    val uni = toks.select(explode(col("ts")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-      .localCheckpoint(true)
-    val v = uni.count()
-    (bi, uni, v)
+    // the order-2 instance of [[ngramLm]], renamed to the (w1, w2, c12) /
+    // (w1, c1) schema [[collectBigramModel]] and existing callers expect —
+    // ONE implementation of the counting/smoothing pipeline, so a fix to
+    // either path cannot silently diverge the other (the n=2 equivalence
+    // is additionally spec-pinned)
+    val (ng, ctx, v) = ngramLm(ref, textCol, n = 2)
+    (ng.select(col("ctx").as("w1"), col("w").as("w2"), col("cn").as("c12")),
+      ctx.select(col("ctx").as("w1"), col("cc").as("c1")), v)
   }
-
-  /** (w1, w2) struct pairs of adjacent tokens; < 2 tokens → empty. The
-    * token array is [[TextOps.bindOnce bound]] first: `element_at` runs
-    * per element inside the lambda, so an unbound tokenizer expression
-    * would re-split the document O(tokens²) times (measured 36 s → 1.5 s
-    * at sf0.1 for the self-scoring query).
-    */
-  private def bigramsOf(toksExpr: Column): Column =
-    TextOps.bindOnce(toksExpr) { toks =>
-      when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("w1"),
-            element_at(toks, i + 1).as("w2"))))
-    }
 
   /** Per-document bits-per-token under the reference bigram model:
     * `(id, n_bigrams, bits)` where bits = mean over the document's bigrams
@@ -81,25 +59,14 @@ object LmOps {
     */
   def perplexityBits(df: DataFrame, idCol: String, textCol: String,
                      bigrams: DataFrame, unigrams: DataFrame,
-                     vocabSize: Long): DataFrame = {
-    val grams = df
-      .select(col(idCol), explode_outer(
-        bigramsOf(TextOps.tokens(lower(col(textCol))))).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val p = (coalesce(col("c12"), lit(0L)) + lit(1.0)) /
-      (coalesce(col("c1"), lit(0L)) + lit(vocabSize.toDouble))
-    val term = round(-log2(p), 6).cast("decimal(18,6)")
-    grams
-      .join(bigrams, Seq("w1", "w2"), "left")
-      .join(unigrams, Seq("w1"), "left")
-      .groupBy(idCol)
-      .agg(count(col("w1")).as("n_bigrams"),
-        sum(when(col("w1").isNotNull, term)).as("bits_sum"))
-      .select(col(idCol), col("n_bigrams"),
-        when(col("n_bigrams") > 0,
-          round(col("bits_sum").cast("double") / col("n_bigrams"), 4))
-          .as("bits"))
-  }
+                     vocabSize: Long): DataFrame =
+    // the order-2 instance of [[perplexityBitsN]] over the renamed model
+    // tables; output keeps the historical n_bigrams column name
+    perplexityBitsN(df, idCol, textCol,
+      bigrams.select(col("w1").as("ctx"), col("w2").as("w"), col("c12").as("cn")),
+      unigrams.select(col("w1").as("ctx"), col("c1").as("cc")),
+      vocabSize, n = 2)
+      .withColumnRenamed("n_ngrams", "n_bigrams")
 
   /** Order-n generalization of [[bigramLm]] (CCNet's production models
     * are 5-gram): counts of (context, word) n-grams and of (n-1)-gram
@@ -123,12 +90,21 @@ object LmOps {
     val ctx = toks.select(explode(contextsOf(col("ts"), n)).as("ctx"))
       .groupBy("ctx").agg(count(lit(1)).as("cc"))
       .localCheckpoint(true)
-    val v = toks.select(explode(col("ts")).as("w")).distinct().count()
+    // at n=2 the contexts ARE the unigrams, so V is a count of the
+    // already-checkpointed model table — no third reference pass; higher
+    // orders genuinely need the distinct-token scan
+    val v =
+      if (n == 2) ctx.count()
+      else toks.select(explode(col("ts")).as("w")).distinct().count()
     (ng, ctx, v)
   }
 
   /** (ctx, w) structs for order-n scoring: ctx = tokens i..i+n-2 joined
-    * with a space, w = token i+n-1; < n tokens → empty.
+    * with a space, w = token i+n-1; < n tokens → empty. The token array
+    * is [[TextOps.bindOnce bound]] first: the lambda body runs per
+    * element, so an unbound tokenizer expression would re-split the
+    * document O(tokens²) times (measured 36 s → 1.5 s at sf0.1 for the
+    * self-scoring query).
     */
   private def ngramsOf(toksExpr: Column, n: Int): Column =
     TextOps.bindOnce(toksExpr) { toks =>

@@ -289,18 +289,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     import graft.ops.LmOps
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (bi, uni, v) = LmOps.bigramLm(docs, "text")
-    val scored = LmOps.perplexityBits(docs, "doc_id", "text", bi, uni, v)
-    val plan = collectPlan(scored.queryExecution.executedPlan)
-    // the two model joins must be broadcast (bounded clean-reference
-    // contract) — a shuffle join here re-partitions the scored corpus
-    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
-    assert(bhj.size >= 2, s"expected both count-table joins broadcast:\n$scored")
-    // the only exchange is the per-document aggregation, and it carries
-    // (doc_id, count, decimal sum) — never the text column
-    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
-    assert(exchanges.nonEmpty, "expected the per-doc aggregation exchange")
-    for (e <- exchanges; attr <- e.output)
-      assert(attr.name != "text",
-        s"text crosses an exchange: ${e.output.mkString(", ")}")
+    val (ng, ctxT, v3) = LmOps.ngramLm(docs, "text", n = 3)
+    // BOTH orders: the bigram public path and the order-n general path
+    for (scored <- Seq(
+        LmOps.perplexityBits(docs, "doc_id", "text", bi, uni, v),
+        LmOps.perplexityBitsN(docs, "doc_id", "text", ng, ctxT, v3, n = 3))) {
+      val planStr = scored.queryExecution.executedPlan.toString
+      val plan = collectPlan(scored.queryExecution.executedPlan)
+      // the two model joins must be broadcast (bounded clean-reference
+      // contract) — a shuffle join here re-partitions the scored corpus
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.size >= 2,
+        s"expected both count-table joins broadcast:\n$planStr")
+      // the only exchange is the per-document aggregation, and it carries
+      // (doc_id, count, decimal sum) — never the text column
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "expected the per-doc aggregation exchange")
+      for (e <- exchanges; attr <- e.output)
+        assert(attr.name != "text",
+          s"text crosses an exchange: ${e.output.mkString(", ")}\n$planStr")
+    }
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{TagAttributes => CoreTagAttributes}
-import graft.ops.{CurateOps, DedupOps, JoinOps, LmOps, MediaOps, PackOps, PdfOps, RetrievalOps, ShuffleOps, SimOps, TextOps, WebOps}
+import graft.ops.{BloomOps, CurateOps, DedupOps, JoinOps, LmOps, MediaOps, PackOps, PdfOps, RetrievalOps, ShuffleOps, SimOps, TextOps, WebOps}
 import graft.pipeline.{ConvAssembly, ConvOps, ExtractJob, SpanLineage, TranscriptGen, Turn, Udfs}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -846,6 +846,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_docs_bm25" -> ((s, dir) => {
+      // BM25 serving: three literal queries ranked over the document
+      // corpus, top-5 each via the bounded-heap aggregate; per-term
+      // decimal rounding makes the scores bit-exact across engines
+      val d = docs(s, dir)
+      val qs = s.createDataFrame(Seq(
+        (1L, "spark window merge"),
+        (2L, "customer filter query"),
+        (3L, "vector hash join"))).toDF("query_id", "qtext")
+      RetrievalOps.bm25TopDocs(d, "doc_id", "text", qs, "query_id", "qtext", topK = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("score").cast("double").as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_contamination_bloom" -> ((s, dir) => {
+      // the same decontamination answer as q_contamination through the
+      // Bloom build->probe->verify shape (the bench-too-big-to-broadcast
+      // scale path): bloom prunes the train shingle stream map-side, the
+      // exact verify join removes every false positive, so the oracle is
+      // the identical SQL
+      val d = docs(s, dir)
+      BloomOps.contaminationBloom(
+          d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 5, hashed = false)
+        .select(col("id").as("doc_id"), col("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     "q_contamination_ratio" -> ((s, dir) => {
       // thresholded decontamination: per train doc, distinct 5-gram count,
       // benchmark-overlap count, and the integer-exact >=20% flag — the
@@ -1521,6 +1550,59 @@ object SparkEntry {
         |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN CAST([] AS varchar[])
+        |    ELSE list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END) AS sh
+        |  FROM t),
+        |b AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 5 = 0),
+        |tr AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE doc_id % 5 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_hits
+        |FROM tr JOIN b ON tr.s = b.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // BM25: the SQL mirrors the Scala expression tree literally (same
+    // double operation order, ln rounded to 6 decimals per term, per-term
+    // product re-rounded into decimal(18,6), exact decimal sum) so the
+    // scores are bit-identical; rank ties break on ascending doc_id in
+    // both engines.
+    "q_docs_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS bigint), 'spark window merge'),
+        |    (CAST(2 AS bigint), 'customer filter query'),
+        |    (CAST(3 AS bigint), 'vector hash join')),
+        |tk AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS token FROM tk),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs,
+        |         cast(sum(len(ts)) AS double) / count(*) AS avgdl FROM tk),
+        |qt AS (SELECT query_id,
+        |         unnest(list_distinct(regexp_split_to_array(trim(lower(qtext)), '\s+'))) AS token
+        |       FROM q),
+        |term AS (SELECT qt.query_id, tf.doc_id,
+        |    cast(round(round(ln(1.0 + (st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5)), 6)
+        |        * (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6)
+        |      AS decimal(18,6)) AS t
+        |  FROM tf JOIN qt USING (token) JOIN dfc USING (token) JOIN dl USING (doc_id), st),
+        |sc AS (SELECT query_id, doc_id, sum(t) AS s FROM term GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, s,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+        |       FROM sc)
+        |SELECT query_id, cast(rank AS int) AS rank, doc_id, cast(s AS double) AS score
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Bloom-pruned decontamination answers EXACTLY the broadcast-join
+    // form (the filter only prunes; the verify join is exact), so the
+    // oracle is the same SQL as q_contamination.
+    "q_contamination_bloom" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
         |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks

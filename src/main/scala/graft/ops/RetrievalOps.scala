@@ -75,6 +75,73 @@ object RetrievalOps {
           .as("postings"))
   }
 
+  /** BM25 ranking: for each query, the `topK` highest-scoring documents
+    * under Okapi BM25 with the Lucene idf form
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` (never negative) and the standard
+    * saturation term `tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`. Query
+    * terms are DISTINCT (qtf = 1, the common serving simplification —
+    * documented, and the oracle mirrors it). Output:
+    * `(query_id, rank, doc_id, score)` with rank 1 = best; ties break on
+    * ascending doc_id. Documents sharing no term with a query are absent,
+    * as are queries with no tokens.
+    *
+    * Cross-engine determinism (the DuckDB-oracle discipline from
+    * [[graft.ops.LmOps]]): the one transcendental — `ln` — is rounded to 6
+    * decimals per term and the per-term product re-rounded into a
+    * `decimal(18,6)`, so the per-query score is an EXACT decimal sum; the
+    * ranking consumes that decimal (as a double — sums this size convert
+    * exactly) with the same (score desc, doc_id asc) total order as the
+    * SQL `row_number()`.
+    *
+    * Scale shape: tf/df/dl are the standard hash-aggregate passes (map-side
+    * combine); the query-term table — small by nature, a serving batch —
+    * is BROADCAST against the tf stream, so the corpus never shuffles to
+    * meet the queries; the per-query ranking is the bounded-heap
+    * `topk_by_score` aggregate (O(topK) state on partial and final sides),
+    * never a window over a query's full candidate list — a stopword-ish
+    * query term matching 10⁹ documents pre-reduces to partitions×topK
+    * pairs before the exchange.
+    */
+  def bm25TopDocs(corpus: DataFrame, idCol: String, textCol: String,
+                  queries: DataFrame, qidCol: String, qtextCol: String,
+                  topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val tf = tfFrame(corpus, idCol, textCol) // (doc_id, token, tf)
+    val dfc = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // N and avgdl over ALL corpus docs (token-free docs count in N and
+    // add 0 tokens) — one tiny two-long aggregate, computed in-plan so the
+    // operator stays a single lazy frame (no driver action).
+    val stats = corpus
+      .select(size(TextOps.tokens(lower(col(textCol)))).cast("long").as("n_toks"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_total"))
+      .select(col("n_docs"), (col("n_total").cast("double") / col("n_docs")).as("avgdl"))
+    val qterms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(array_distinct(TextOps.tokens(lower(col(qtextCol))))).as("token"))
+    val perTerm = tf
+      .join(broadcast(qterms), "token")
+      .join(dfc, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .withColumn("term_score",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))), 6)
+          .cast("decimal(18,6)"))
+    perTerm
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_score").as("score"))
+      .groupBy("query_id")
+      .agg(expr(s"topk_by_score(cast(score as double), doc_id, $topK)").as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), (col("__pos") + 1).as("rank"),
+        col("__e.id").as("doc_id"),
+        col("__e.score").cast("decimal(18,6)").as("score"))
+  }
+
   /** Corpus-LM familiarity: for each document, the number of token bigrams
     * and the sum over its bigram OCCURRENCES of that bigram's corpus-wide
     * occurrence count — a high sum means the document is built from

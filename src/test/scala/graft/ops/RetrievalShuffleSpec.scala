@@ -283,4 +283,103 @@ class RetrievalShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(prev == pieces.take(4).mkString(" "), s"doc $id preview")
     }
   }
+
+  // ---- bm25TopDocs --------------------------------------------------------
+
+  /** Independent local BM25 with the operator's exact rounding discipline:
+    * idf rounded to 6 decimals as a double, per-term product rounded into
+    * a scale-6 BigDecimal, exact decimal sum.
+    */
+  private def bm25Local(corpus: Seq[(Long, String)], query: String,
+                        k1: Double = 1.2, b: Double = 0.75): Map[Long, BigDecimal] = {
+    def toks(s: String): Seq[String] =
+      if (s.trim.isEmpty) Seq.empty else s.trim.toLowerCase.split("\\s+").toSeq
+    val docToks = corpus.map { case (id, t) => id -> toks(t) }
+    val n = corpus.size.toLong
+    val avgdl = docToks.map(_._2.size.toLong).sum.toDouble / n
+    val dfm = docToks.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    def round6d(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qts = toks(query).distinct
+    docToks.flatMap { case (id, ts) =>
+      if (ts.isEmpty) None
+      else {
+        val dl = ts.size.toLong
+        val terms = qts.flatMap { q =>
+          val tf = ts.count(_ == q).toLong
+          if (tf == 0) None
+          else {
+            val df = dfm(q)
+            val idf = round6d(math.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+            val term = idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            Some(BigDecimal(round6d(term)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          }
+        }
+        if (terms.isEmpty) None else Some(id -> terms.sum)
+      }
+    }.toMap
+  }
+
+  private def queriesDf(rows: (Long, String)*): DataFrame =
+    spark.createDataFrame(rows).toDF("query_id", "qtext")
+
+  test("bm25TopDocs matches the local reference, decimal-exact") {
+    val corpus = Seq(
+      (0L, "spark shuffle join join join"),
+      (1L, "spark spark window merge sort hash hash table scan"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "join hash merge"),
+      (4L, ""),
+      (5L, "spark"))
+    val out = RetrievalOps.bm25TopDocs(df(corpus), "doc_id", "text",
+        queriesDf((1L, "spark join"), (2L, "fox")), "query_id", "qtext", topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), BigDecimal(r.getDecimal(3))))
+    val exp1 = bm25Local(corpus, "spark join")
+    val exp2 = bm25Local(corpus, "fox")
+    val got1 = out.filter(_._1 == 1L).map(x => x._3 -> x._4).toMap
+    val got2 = out.filter(_._1 == 2L).map(x => x._3 -> x._4).toMap
+    assert(got1.keySet == exp1.keySet)
+    assert(got2.keySet == exp2.keySet)
+    got1.foreach { case (id, s) => assert(s == exp1(id), s"q1 doc $id: $s vs ${exp1(id)}") }
+    got2.foreach { case (id, s) => assert(s == exp2(id), s"q2 doc $id: $s vs ${exp2(id)}") }
+    // ranks descend in score, contiguous from 1
+    val r1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(r1.map(_._2).toSeq == (1 to r1.length).toSeq)
+    assert(r1.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("bm25TopDocs: identical docs tie and break on ascending doc_id; topK caps") {
+    val corpus = Seq(
+      (7L, "alpha beta"), (3L, "alpha beta"), (5L, "alpha beta"), (9L, "gamma"))
+    val out = RetrievalOps.bm25TopDocs(df(corpus), "doc_id", "text",
+        queriesDf((1L, "alpha")), "query_id", "qtext", topK = 2)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 3L), (2, 5L)), s"got ${out.toSeq}")
+  }
+
+  test("bm25TopDocs: empty-token and no-match queries emit nothing") {
+    val corpus = Seq((0L, "alpha beta"), (1L, "gamma"))
+    val out = RetrievalOps.bm25TopDocs(df(corpus), "doc_id", "text",
+      queriesDf((1L, "   "), (2L, "zzz qqq")), "query_id", "qtext", topK = 5)
+    assert(out.count() == 0)
+  }
+
+  test("bm25TopDocs is partition-independent and plans broadcast + heap, no Window") {
+    val corpus = (0L until 300L).map(i =>
+      (i, Seq.fill(5 + (i % 7).toInt)("w" + (i % 23)).mkString(" ") + " spark join"))
+    val q = queriesDf((1L, "spark w1 w2"))
+    val a = RetrievalOps.bm25TopDocs(df(corpus).repartition(1), "doc_id", "text",
+      q, "query_id", "qtext", topK = 20).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDecimal(3))).toSet
+    val plan = RetrievalOps.bm25TopDocs(df(corpus).repartition(13), "doc_id", "text",
+      q, "query_id", "qtext", topK = 20)
+    val b = plan.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDecimal(3))).toSet
+    assert(a == b, "ranking must not depend on the partition layout")
+    val phys = plan.queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), "per-query ranking must be the bounded heap, not a window")
+    assert(phys.contains("topk_by_score"), "expected the native bounded-heap aggregate")
+    assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastNestedLoopJoin"),
+      "query terms must broadcast against the tf stream")
+  }
 }

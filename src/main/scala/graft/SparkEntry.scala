@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{TagAttributes => CoreTagAttributes}
-import graft.ops.{BloomOps, CurateOps, DedupOps, JoinOps, LmOps, MediaOps, PackOps, PdfOps, RetrievalOps, ShuffleOps, SimOps, TextOps, WebOps}
+import graft.ops.{BloomOps, ClassifyOps, CurateOps, DedupOps, JoinOps, LmOps, MediaOps, PackOps, PdfOps, RetrievalOps, ShuffleOps, SimOps, TextOps, WebOps}
 import graft.pipeline.{ConvAssembly, ConvOps, ExtractJob, SpanLineage, TranscriptGen, Turn, Udfs}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1285,6 +1285,23 @@ object SparkEntry {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       ConvOps.convNearDups(t.union(near), threshold = 0.5)
         .orderBy("id_a", "id_b")
+    }),
+
+    "x_quality_classifier" -> ((s, dir) => {
+      // classifier-based quality filter: train the deterministic
+      // quantized-gradient logistic regression on a derived label (does
+      // the doc mention "customer") and sweep the corpus with the model.
+      // Iterative sigmoid training is not SQL-expressible — determinism
+      // (bit-equal weights at ANY parallelism) and learnability are
+      // ScalaTest-proven in ClassifySpec; the driver checks rows
+      val d = docs(s, dir)
+      val labeled = d.withColumn("label",
+        (instr(lower(col("text")), "customer") > 0).cast("int"))
+      val model = ClassifyOps.train(labeled, "text", "label",
+        dim = 1 << 14, iters = 15, lr = 1.0)
+      ClassifyOps.score(d, "doc_id", "text", model)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }),
 
     "x_bpe_merges" -> ((s, dir) => {

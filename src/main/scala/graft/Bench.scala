@@ -62,7 +62,11 @@ object Bench {
     "q_strip_constructed" -> 0.6, "q_strip_dup_spans" -> 5.6, "q_strip_native_expr" -> 0.6,
     "q_token_jaccard" -> 1.6, "q_topk_docs" -> 0.3, "q_url_canon" -> 0.6,
     "q_vocab_top" -> 0.6, "q_window_running" -> 1.2, "q_window_top_event" -> 0.9,
-    "x_bpe_encode" -> 1.4, "x_bpe_merges" -> 1.0, "x_extract_transcripts" -> 0.5
+    "x_bpe_encode" -> 1.4, "x_bpe_merges" -> 1.0, "x_extract_transcripts" -> 0.5,
+    // sixth-wave additions (solo spark-shell timings at sf0.1/local[32],
+    // same +30% margin discipline)
+    "q_docs_bm25" -> 2.2, "q_contamination_bloom" -> 2.1,
+    "x_quality_classifier" -> 1.6
   )
 
   /** A regression fires above 3× the recorded time AND above a 1.5 s

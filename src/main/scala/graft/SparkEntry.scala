@@ -1334,6 +1334,26 @@ object SparkEntry {
     })
   )
 
+  /** Shared by q_contamination and q_contamination_bloom: the bloom path
+    * must answer EXACTLY the broadcast-join form (the filter only prunes;
+    * the verify join is exact), and binding one string enforces that
+    * equivalence by construction.
+    */
+  private val contaminationOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN CAST([] AS varchar[])
+      |    ELSE list_transform(range(1, len(toks) - 3),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END) AS sh
+      |  FROM t),
+      |b AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 5 = 0),
+      |tr AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE doc_id % 5 <> 0)
+      |SELECT tr.doc_id, count(*) AS n_hits
+      |FROM tr JOIN b ON tr.s = b.s
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
@@ -1566,20 +1586,7 @@ object SparkEntry {
         |  cast(len(kept) + nrm AS int) AS n_tok, cast(nrm AS int) AS n_removed
         |FROM k ORDER BY doc_id""".stripMargin,
 
-    "q_contamination" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
-        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
-        |  FROM documents),
-        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN CAST([] AS varchar[])
-        |    ELSE list_transform(range(1, len(toks) - 3),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END) AS sh
-        |  FROM t),
-        |b AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 5 = 0),
-        |tr AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE doc_id % 5 <> 0)
-        |SELECT tr.doc_id, count(*) AS n_hits
-        |FROM tr JOIN b ON tr.s = b.s
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_contamination" -> contaminationOracle,
 
     // BM25: the SQL mirrors the Scala expression tree literally (same
     // double operation order, ln rounded to 6 decimals per term, per-term
@@ -1616,23 +1623,7 @@ object SparkEntry {
         |SELECT query_id, cast(rank AS int) AS rank, doc_id, cast(s AS double) AS score
         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    // Bloom-pruned decontamination answers EXACTLY the broadcast-join
-    // form (the filter only prunes; the verify join is exact), so the
-    // oracle is the same SQL as q_contamination.
-    "q_contamination_bloom" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN CAST([] AS varchar[])
-        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
-        |  FROM documents),
-        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN CAST([] AS varchar[])
-        |    ELSE list_transform(range(1, len(toks) - 3),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END) AS sh
-        |  FROM t),
-        |b AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 5 = 0),
-        |tr AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE doc_id % 5 <> 0)
-        |SELECT tr.doc_id, count(*) AS n_hits
-        |FROM tr JOIN b ON tr.s = b.s
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_contamination_bloom" -> contaminationOracle,
 
     "q_contamination_spans" ->
       """WITH t AS (SELECT doc_id,

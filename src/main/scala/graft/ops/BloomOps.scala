@@ -66,16 +66,27 @@ object BloomOps {
       bits.map(java.lang.Long.bitCount(_).toLong).sum.toDouble / numBits
   }
 
-  /** Standard sizing: m = ceil(-n·ln p / ln²2) bits, j = round(m/n·ln 2)
-    * hashes — the FP-optimal pair for `expectedKeys` at `fpRate`.
+  /** Standard sizing: m = ceil(-n·ln p / ln²2) bits rounded UP to a
+    * multiple of 64 (the word granularity [[buildBloom]] requires — the
+    * extra bits only lower the FP rate), j = round(m/n·ln 2) hashes — the
+    * FP-optimal pair for `expectedKeys` at `fpRate`.
     */
   def sizeFor(expectedKeys: Long, fpRate: Double): (Long, Int) = {
     require(expectedKeys > 0, s"expectedKeys must be positive: $expectedKeys")
     require(fpRate > 0 && fpRate < 1, s"fpRate must be in (0,1): $fpRate")
     val ln2 = math.log(2)
-    val m = math.ceil(-expectedKeys * math.log(fpRate) / (ln2 * ln2)).toLong.max(64L)
-    val j = math.round(m.toDouble / expectedKeys * ln2).toInt.max(1).min(32)
-    (m, j)
+    val raw = math.ceil(-expectedKeys * math.log(fpRate) / (ln2 * ln2)).toLong.max(64L)
+    val m = ((raw + 63) / 64) * 64
+    (m, hashesFor(m, expectedKeys))
+  }
+
+  /** FP-optimal probe count for a bitset of `numBits` over `expectedKeys`:
+    * round(m/n·ln 2), clamped to [1, 32]. The single source of the j
+    * formula for [[sizeFor]] and [[contaminationBloom]].
+    */
+  def hashesFor(numBits: Long, expectedKeys: Long): Int = {
+    require(expectedKeys > 0, s"expectedKeys must be positive: $expectedKeys")
+    math.round(numBits.toDouble / expectedKeys * math.log(2)).toInt.max(1).min(32)
   }
 
   /** Fold a single-LONG-column frame into a Bloom bitset. Deterministic
@@ -144,14 +155,11 @@ object BloomOps {
     require(bitsPerKey >= 1 && bitsPerKey <= 64,
       s"bitsPerKey must be in [1,64]: $bitsPerKey")
     val key = if (hashed) (c: Column) => xxhash64(c) else (c: Column) => c
-    // Bench distinct shingles, cached once: the bloom build, the size
-    // count, and the verify join all read the same blocks (persist not
-    // checkpoint — lineage intact, lost executors recompute).
-    val benchSet = bench
-      .select(explode(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
-      .select(key(col("s")).as("sh"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bench distinct shingles via the builder SHARED with DedupOps'
+    // decontamination family (same keying, same cache discipline — the
+    // bloom build, the size count, and the verify join all read the same
+    // blocks; persist not checkpoint, so lost executors recompute).
+    val benchSet = DedupOps.benchShingleSet(bench, textCol, k, hashed)
     val benchRows = benchSet.count()
     if (benchRows == 0) {
       // Empty benchmark: nothing can be contaminated; skip the build
@@ -165,8 +173,7 @@ object BloomOps {
           s"numBitsOverride must be a multiple of 64: $numBitsOverride")
         numBitsOverride
       } else ((benchRows * bitsPerKey + 63) / 64) * 64
-    val numHashes =
-      math.round(numBits.toDouble / benchRows * math.log(2)).toInt.max(1).min(32)
+    val numHashes = hashesFor(numBits, benchRows)
     val model = buildBloom(
       benchSet.select(xxhash64(col("sh")).as("h")), numBits, numHashes)
 

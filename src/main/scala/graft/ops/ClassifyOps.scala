@@ -52,7 +52,10 @@ object ClassifyOps {
     if (text == null) return Array.emptyIntArray
     val t = text.trim
     if (t.isEmpty) return Array.emptyIntArray
-    val toks = t.toLowerCase.split("\\s+")
+    // Locale.ROOT: a default-locale lowercase would hash the same token to
+    // DIFFERENT buckets on executors with differing user.language (tr's
+    // dotless i), breaking the bit-determinism this module promises.
+    val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val seen = new java.util.LinkedHashSet[Integer]()
     var i = 0
     while (i < toks.length) {
@@ -113,9 +116,13 @@ object ClassifyOps {
         (featuresLocal(t, d), y)
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = feats.count()
-    require(n > 0, "train: empty corpus")
     try {
+      // count (which surfaces bad-label failures from the map) and the
+      // empty-corpus guard sit INSIDE the try so every exit path
+      // unpersists — a failed train must not leak cached blocks for the
+      // life of the session.
+      val n = feats.count()
+      require(n > 0, "train: empty corpus")
       var w = new Array[Double](dim)
       var bias = 0.0
       var it = 0

@@ -856,11 +856,25 @@ object DedupOps {
     * auto, `0` = never broadcast, positive = explicit row limit. The
     * cache is released by Spark's ContextCleaner when the frame is GC'd.
     */
+  /** The distinct (possibly xxhash64-keyed) bench shingle set, cached —
+    * shared by the broadcast-guarded decontamination operators here AND
+    * [[graft.ops.BloomOps.contaminationBloom]], so the bench-side
+    * semantics cannot drift between the two families.
+    */
+  private[ops] def benchShingleSet(bench: DataFrame, textCol: String,
+                                   k: Int, hashed: Boolean): DataFrame = {
+    val key = if (hashed) (c: Column) => xxhash64(c) else (c: Column) => c
+    bench
+      .select(explode(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
+      .select(key(col("s")).as("sh"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
   private def benchShingleSide(bench: DataFrame, textCol: String, k: Int,
                                hashed: Boolean,
                                benchBroadcastLimit: Long,
                                caller: String): DataFrame = {
-    def key(c: Column): Column = if (hashed) xxhash64(c) else c
     require(benchBroadcastLimit >= -1,
       s"benchBroadcastLimit must be -1 (auto), 0 (never broadcast), or a " +
         s"positive row limit; got $benchBroadcastLimit")
@@ -868,11 +882,7 @@ object DedupOps {
       if (benchBroadcastLimit >= 0) benchBroadcastLimit
       else if (hashed) 50000000L
       else 5000000L
-    val benchSet = bench
-      .select(explode(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))
-      .select(key(col("s")).as("sh"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val benchSet = benchShingleSet(bench, textCol, k, hashed)
     val benchRows = benchSet.count()
     if (benchRows <= limit) broadcast(benchSet)
     else {

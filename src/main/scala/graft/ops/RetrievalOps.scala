@@ -108,8 +108,20 @@ object RetrievalOps {
     require(topK > 0, s"topK must be positive: $topK")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val tf = tfFrame(corpus, idCol, textCol) // (doc_id, token, tf)
-    val dfc = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val qterms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(array_distinct(TextOps.tokens(lower(col(qtextCol))))).as("token"))
+    // Restrict the tf stream to query terms BEFORE the df aggregate: df
+    // per token is identical on the restricted stream, but the aggregate
+    // state and exchange shrink from |vocabulary| (~10^8 keys at pitched
+    // scale) to |query terms|.
+    val tfQ = tf.join(broadcast(qterms.select("token").distinct()),
+      Seq("token"), "left_semi")
+    val dfc = tfQ.groupBy("token").agg(count(lit(1)).as("df"))
+    // Doc length map-side from the token array (== sum of tf, without a
+    // corpus-wide shuffle on doc_id).
+    val dl = corpus.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"))
     // N and avgdl over ALL corpus docs (token-free docs count in N and
     // add 0 tokens) — one tiny two-long aggregate, computed in-plan so the
     // operator stays a single lazy frame (no driver action).
@@ -117,10 +129,7 @@ object RetrievalOps {
       .select(size(TextOps.tokens(lower(col(textCol)))).cast("long").as("n_toks"))
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_total"))
       .select(col("n_docs"), (col("n_total").cast("double") / col("n_docs")).as("avgdl"))
-    val qterms = queries
-      .select(col(qidCol).as("query_id"),
-        explode(array_distinct(TextOps.tokens(lower(col(qtextCol))))).as("token"))
-    val perTerm = tf
+    val perTerm = tfQ
       .join(broadcast(qterms), "token")
       .join(dfc, "token")
       .join(dl, "doc_id")

@@ -83,8 +83,8 @@ class BloomSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("build is deterministic across partitionings and has no false negatives") {
     val keys = (0 until 5000).map(i => DedupOps.hash64("key" + i))
-    val (m, j) = BloomOps.sizeFor(keys.size.toLong, 0.01)
-    val numBits = ((m + 63) / 64) * 64
+    val (numBits, j) = BloomOps.sizeFor(keys.size.toLong, 0.01)
+    assert(numBits % 64 == 0, "sizeFor must emit word-granular sizes buildBloom accepts")
     val keysDf = spark.createDataFrame(keys.map(Tuple1(_))).toDF("h")
     val one = BloomOps.buildBloom(keysDf.repartition(1), numBits, j)
     val many = BloomOps.buildBloom(keysDf.repartition(13), numBits, j)

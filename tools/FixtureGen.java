@@ -141,6 +141,126 @@ public class FixtureGen {
     List<String> sel = Arrays.asList(args);
     if (sel.isEmpty() || sel.contains("batch1")) batch1();
     if (sel.contains("batch2")) { id = 501000; batch2(); }
+    if (sel.contains("batch3")) { id = 601000; batch3(); }
+  }
+
+  static void batch3() {
+    List<String> inputs = new ArrayList<>();
+
+    // 1. CR/LF and tabs INSIDE attribute machinery: the newline handling
+    // so far tortured bodies; attribute values and inter-attribute gaps
+    // have their own state transitions
+    inputs.add("[t a=\"x\ny\"]b[/t]");
+    inputs.add("[t a=\"x\r\ny\"]b[/t]");
+    inputs.add("[t\ta=1]x[/t]");
+    inputs.add("[t a=1\tb=2]x[/t]");
+    inputs.add("[t\na=1]x[/t]");
+    inputs.add("[quote=\"a\nb\"]x[/quote]");
+    inputs.add("[size=\n9]x[/size]");
+
+    // 2. control characters in body / attribute / tag name
+    inputs.add("a\u0001b[b]c\u0007d[/b]");
+    inputs.add("[t a=\"\u0001\"]x[/t]");
+    inputs.add("[\u0001]x[/\u0001]");
+    inputs.add("\u0000[b]x[/b]");
+
+    // 3. length extremes: 300-char tag name, 300-char attribute name,
+    // 800-char quoted value holding every special
+    StringBuilder longName = new StringBuilder();
+    for (int i = 0; i < 300; i++) longName.append('n');
+    inputs.add("[" + longName + "]x[/" + longName + "]");
+    inputs.add("[t " + longName + "=v]x[/t]");
+    StringBuilder longVal = new StringBuilder();
+    for (int i = 0; i < 100; i++) longVal.append("&<>\"' []\\");
+    inputs.add("[t a=\"" + longVal + "\"]x[/t]");
+
+    // 4. backslash-in-attribute torture (escape state machine inside
+    // simple and complex attributes, quoted and bare)
+    inputs.add("[t a=\\\"]x[/t]");
+    inputs.add("[t a=\"b\\\"c\"]x[/t]");
+    inputs.add("[t a=b\\]x[/t]");
+    inputs.add("[url=http://e.com/a\\b]x[/url]");
+    inputs.add("[t a=\"\\\\\"]x[/t]");
+    inputs.add("[quote=\\]x[/quote]");
+
+    // 5. [*] interactions beyond plain lists
+    inputs.add("[*]");
+    inputs.add("[list][*][/list]");
+    inputs.add("[list][*]a[*][/list]");
+    inputs.add("[list][*]a[list][*]b[/list][/list]");
+    inputs.add("[list][*]a");
+    inputs.add("[*]a[/list]");
+    inputs.add("[list][*][*][*][/list]");
+    inputs.add("[ol][*]x[/ol]");
+
+    // 6. cross-language embedding: each parser's markup inert inside the
+    // other's raw regions
+    inputs.add("[code]<script>alert(1)</script>[/code]");
+    inputs.add("[noparse]<b>x</b>[/noparse]");
+    inputs.add("<script>[b]x[/b]</script>");
+    inputs.add("<pre>[list][*]a[/list]</pre>");
+    inputs.add("[code]<!-- c -->[/code]");
+
+    // 7. sliding single-char truncation over a complex attributed base
+    // (every prefix must parse without throwing and with sound spans)
+    String base = "[quote=\"a\\\"b\" x=1]hi [b]z&[/b][/quote]";
+    for (int i = 1; i <= base.length(); i++) inputs.add(base.substring(0, i));
+
+    // 8. repetition bombs
+    StringBuilder opens = new StringBuilder();
+    for (int i = 0; i < 500; i++) opens.append('[');
+    inputs.add(opens.toString());
+    StringBuilder closes = new StringBuilder();
+    for (int i = 0; i < 500; i++) closes.append(']');
+    inputs.add(closes.toString());
+    StringBuilder slashes = new StringBuilder();
+    for (int i = 0; i < 300; i++) slashes.append('\\');
+    inputs.add(slashes.toString());
+    StringBuilder bombs = new StringBuilder();
+    for (int i = 0; i < 200; i++) bombs.append("[b]");
+    inputs.add(bombs.toString());
+    StringBuilder unopened = new StringBuilder();
+    for (int i = 0; i < 200; i++) unopened.append("[/b]");
+    inputs.add(unopened.toString());
+
+    // 9. HTML third wave: PI/doctype/backtick/unquoted-special attrs,
+    // case and whitespace soups, EOF inside raw text
+    inputs.add("<?php echo 1; ?>x");
+    inputs.add("<!DOCTYPEhtml><p>x</p>");
+    inputs.add("<a href=a&b>x</a>");
+    inputs.add("<a title=b>c>d</a>");
+    inputs.add("<a title=`b`>x</a>");
+    inputs.add("<A HREF=\"X\">x</A>");
+    inputs.add("<input value = \"a\" >");
+    inputs.add("<b\n class=c>x</b>");
+    inputs.add("<script>x</scr");
+    inputs.add("<!-->x");
+    inputs.add("<!--->x");
+    inputs.add("<!---->x");
+    inputs.add("</>x");
+    inputs.add("< >x");
+    inputs.add("<b <i>>x");
+    inputs.add("<p>&amp;&notanentity;&</p>");
+
+    // 10. whitespace-only and near-empty documents
+    inputs.add(" ");
+    inputs.add("\r\n\r\n");
+    inputs.add("\t\t");
+    inputs.add(" \r\n\t ");
+
+    // 11. new-seed soup with an attribute-heavy alphabet
+    Random rnd = new Random(20260818L * 31 + 7);
+    String[] toks = {"[t ", "a=", "\"", "b\"", "=c", "]", "[/t]", "\\",
+      " ", "x", "[b]", "[/b]", "[url=", "http://e", "[quote=", "'",
+      "\r\n", "&", "<", "[*]", "[list]", "[/list]", "\t"};
+    for (int s = 0; s < 40; s++) {
+      int len = 8 + rnd.nextInt(40);
+      StringBuilder sb = new StringBuilder();
+      for (int i = 0; i < len; i++) sb.append(toks[rnd.nextInt(toks.length)]);
+      inputs.add(sb.toString());
+    }
+
+    emitMatrix(inputs);
   }
 
   static void batch2() {

@@ -106,6 +106,19 @@ object PlanDump {
     val convs = docs.selectExpr("cast(doc_id % 40 as string) as conv_id",
       "cast(doc_id div 40 as int) as turn_idx", "text")
     dump("conv_neardup", graft.pipeline.ConvOps.convNearDups(convs))
+    // BM25 serving: the df aggregate and every join above the corpus scan
+    // must be restricted to query terms (BroadcastHashJoin LeftSemi on the
+    // tf stream); the per-query ranking is the bounded heap, no Window
+    val qs = spark.createDataFrame(Seq((1L, "spark window merge"),
+      (2L, "customer filter query"))).toDF("query_id", "qtext")
+    dump("bm25_serving", graft.ops.RetrievalOps.bm25TopDocs(
+      docs, "doc_id", "text", qs, "query_id", "qtext", topK = 5))
+    // Bloom decontamination: the probe (UDF filter over the broadcast
+    // bitset) must sit in the train-side scan stage BELOW the verify
+    // join's exchange — clean shingles die before any shuffle
+    dump("contamination_bloom", graft.ops.BloomOps.contaminationBloom(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", k = 5, hashed = true))
     spark.stop()
   }
 }

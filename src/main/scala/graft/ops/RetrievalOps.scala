@@ -93,35 +93,39 @@ object RetrievalOps {
     * exactly) with the same (score desc, doc_id asc) total order as the
     * SQL `row_number()`.
     *
-    * Scale shape: tf/df/dl are the standard hash-aggregate passes (map-side
-    * combine); the query-term table — small by nature, a serving batch —
-    * is BROADCAST against the tf stream, so the corpus never shuffles to
-    * meet the queries; the per-query ranking is the bounded-heap
-    * `topk_by_score` aggregate (O(topK) state on partial and final sides),
-    * never a window over a query's full candidate list — a stopword-ish
-    * query term matching 10⁹ documents pre-reduces to partitions×topK
-    * pairs before the exchange.
+    * Scale shape: ONE corpus scan — tokenize once, carry the doc length
+    * alongside the exploded stream, semi-join against the broadcast query
+    * terms IN the scan stage so everything past it (tf, df, the score
+    * join) is sized by |query terms|, not |vocabulary|; the corpus never
+    * shuffles to meet the queries. The per-query ranking is the
+    * bounded-heap `topk_by_score` aggregate (O(topK) state on partial and
+    * final sides), never a window over a query's full candidate list — a
+    * stopword-ish query term matching 10⁹ documents pre-reduces to
+    * partitions×topK pairs before the exchange.
     */
   def bm25TopDocs(corpus: DataFrame, idCol: String, textCol: String,
                   queries: DataFrame, qidCol: String, qtextCol: String,
                   topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(topK > 0, s"topK must be positive: $topK")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val tf = tfFrame(corpus, idCol, textCol) // (doc_id, token, tf)
     val qterms = queries
       .select(col(qidCol).as("query_id"),
         explode(array_distinct(TextOps.tokens(lower(col(qtextCol))))).as("token"))
-    // Restrict the tf stream to query terms BEFORE the df aggregate: df
-    // per token is identical on the restricted stream, but the aggregate
-    // state and exchange shrink from |vocabulary| (~10^8 keys at pitched
-    // scale) to |query terms|.
-    val tfQ = tf.join(broadcast(qterms.select("token").distinct()),
-      Seq("token"), "left_semi")
+    // One corpus scan: tokenize once, carry the doc length alongside the
+    // exploded stream (dl = len(tokens) == sum of tf — no corpus-wide
+    // doc_id shuffle and no second scan to recover it), and semi-join the
+    // stream down to query terms BEFORE the tf/df aggregates: the
+    // aggregate state and exchange shrink from |vocabulary| (~10^8 keys at
+    // pitched scale) to |query terms|, with identical tf/df values.
+    val tfQ = corpus
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(lower(col(textCol))).as("__ts"))
+      .select(col("doc_id"), size(col("__ts")).cast("long").as("dl"),
+        explode(col("__ts")).as("token"))
+      .join(broadcast(qterms.select("token").distinct()), Seq("token"), "left_semi")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
     val dfc = tfQ.groupBy("token").agg(count(lit(1)).as("df"))
-    // Doc length map-side from the token array (== sum of tf, without a
-    // corpus-wide shuffle on doc_id).
-    val dl = corpus.select(col(idCol).as("doc_id"),
-      size(TextOps.tokens(lower(col(textCol)))).cast("long").as("dl"))
     // N and avgdl over ALL corpus docs (token-free docs count in N and
     // add 0 tokens) — one tiny two-long aggregate, computed in-plan so the
     // operator stays a single lazy frame (no driver action).
@@ -132,7 +136,6 @@ object RetrievalOps {
     val perTerm = tfQ
       .join(broadcast(qterms), "token")
       .join(dfc, "token")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))

@@ -115,6 +115,17 @@ class BloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     // though ~1% of probes false-positive into the verify join.
   }
 
+  test("plan: the bloom probe filter survives into the physical plan, window-free") {
+    val d = corpus
+    val out = BloomOps.contaminationBloom(
+      d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", k = 5, hashed = true)
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("Filter UDF("),
+      "the map-side bloom probe must prune the train stream before the verify join")
+    assert(!phys.contains("Window"), "no window anywhere in the decontamination plan")
+  }
+
   test("sizeFor rejects nonsense; empty bench short-circuits") {
     intercept[IllegalArgumentException](BloomOps.sizeFor(0, 0.01))
     intercept[IllegalArgumentException](BloomOps.sizeFor(100, 0.0))

@@ -875,6 +875,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_data_card" -> ((s, dir) => {
+      // per-source release data card: doc/token/empty counts, language
+      // spread, dominant language (aggregate argmax, no window), mean
+      // lengths — every number integer-derived so the oracle is exact
+      CurateOps.dataCard(docs(s, dir), "source", "text", "lang")
+        .orderBy("source")
+    }),
+
     "q_contamination_ratio" -> ((s, dir) => {
       // thresholded decontamination: per train doc, distinct 5-gram count,
       // benchmark-overlap count, and the integer-exact >=20% flag — the
@@ -1624,6 +1632,30 @@ object SparkEntry {
         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_contamination_bloom" -> contaminationOracle,
+
+    "q_data_card" ->
+      """WITH t AS (SELECT source, lang,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS nt,
+        |    length(coalesce(text, '')) AS nc
+        |  FROM documents),
+        |pl AS (SELECT source, lang, count(*) AS docs, sum(nt) AS toks,
+        |         sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS empt, sum(nc) AS chars
+        |       FROM t GROUP BY 1, 2),
+        |tl AS (SELECT source, lang,
+        |         row_number() OVER (PARTITION BY source ORDER BY docs DESC, lang) AS rn
+        |       FROM pl),
+        |agg AS (SELECT source, cast(sum(docs) AS bigint) AS n_docs,
+        |          cast(sum(toks) AS bigint) AS n_tokens,
+        |          cast(sum(empt) AS bigint) AS n_empty,
+        |          count(*) AS n_langs,
+        |          round(cast(sum(toks) AS double) / sum(docs), 4) AS mean_tokens,
+        |          round(cast(sum(chars) AS double) / sum(docs), 4) AS mean_chars
+        |        FROM pl GROUP BY 1)
+        |SELECT agg.source, n_docs, n_tokens, n_empty, n_langs, w.lang AS top_lang,
+        |       mean_tokens, mean_chars
+        |FROM agg JOIN (SELECT source, lang FROM tl WHERE rn = 1) w USING (source)
+        |ORDER BY source""".stripMargin,
 
     "q_contamination_spans" ->
       """WITH t AS (SELECT doc_id,

@@ -126,4 +126,45 @@ object CurateOps {
           < col("rate_mille"))
       .select(col(idCol), col(groupCol), col("rate_mille"))
   }
+
+  /** Per-source data card — the release-documentation table every corpus
+    * ships with: for each `groupCol` value, document and token counts,
+    * mean document length (tokens and chars, 4-decimal), the count of
+    * token-free documents, the number of distinct languages, and the
+    * dominant language (most documents; ties break on ascending language
+    * code). Output: (source, n_docs, n_tokens, n_empty, n_langs,
+    * top_lang, mean_tokens, mean_chars) — every number integer-derived so
+    * the SQL oracle is exact.
+    *
+    * Scale shape: one corpus scan feeding two hash aggregates — per
+    * (source, lang) then per source — both with map-side combine; no row
+    * wider than a few counters ever shuffles. The dominant-language pick
+    * is `min(struct(-cnt, lang))` over the per-source language rows — an
+    * aggregate, not a window, so a 10^12-doc source with 200 languages
+    * still reduces map-side (group cardinality = |sources| × |langs|,
+    * tiny by nature).
+    */
+  def dataCard(df: DataFrame, groupCol: String, textCol: String,
+               langCol: String): DataFrame = {
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val perLang = df
+      .select(col(groupCol).as("source"), col(langCol).as("__lang"),
+        size(toks).cast("long").as("__nt"),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("__nc"))
+      .groupBy("source", "__lang")
+      .agg(count(lit(1)).as("__docs"), sum("__nt").as("__toks"),
+        sum(when(col("__nt") === 0, 1L).otherwise(0L)).as("__empty"),
+        sum("__nc").as("__chars"))
+    perLang
+      .groupBy("source")
+      .agg(
+        sum("__docs").as("n_docs"),
+        sum("__toks").as("n_tokens"),
+        sum("__empty").as("n_empty"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("__docs")).as("negc"), col("__lang").as("lang")))
+          .getField("lang").as("top_lang"),
+        round(sum("__toks").cast("double") / sum("__docs"), 4).as("mean_tokens"),
+        round(sum("__chars").cast("double") / sum("__docs"), 4).as("mean_chars"))
+  }
 }

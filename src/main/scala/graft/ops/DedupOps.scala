@@ -861,8 +861,8 @@ object DedupOps {
     * [[graft.ops.BloomOps.contaminationBloom]], so the bench-side
     * semantics cannot drift between the two families.
     */
-  private[ops] def benchShingleSet(bench: DataFrame, textCol: String,
-                                   k: Int, hashed: Boolean): DataFrame = {
+  private[graft] def benchShingleSet(bench: DataFrame, textCol: String,
+                                     k: Int, hashed: Boolean): DataFrame = {
     val key = if (hashed) (c: Column) => xxhash64(c) else (c: Column) => c
     bench
       .select(explode(array_distinct(TextOps.shingles(col(textCol), k))).as("s"))

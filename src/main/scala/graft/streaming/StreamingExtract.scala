@@ -111,6 +111,66 @@ object StreamingExtract {
       .as[Turn]
   }
 
+  /** Streaming decontamination above the broadcast ceiling: where
+    * [[decontaminateStream]] refuses (its raw bench shingle set would not
+    * fit a stream-filter broadcast), this variant broadcasts a
+    * fixed-size Bloom bitset instead — memory is `bitsPerKey` BITS per
+    * bench shingle regardless of shingle length (a 10⁹-shingle benchmark
+    * at the default 14 bits/key is a 1.75 GB bitset vs ~100 GB of raw
+    * strings), built once per launch with
+    * [[graft.ops.BloomOps.buildBloom]]'s partitioning-deterministic
+    * treeAggregate.
+    *
+    * Semantics: a turn drops when ANY of its word k-grams probes positive.
+    * No false negatives — every genuinely contaminated turn drops, same as
+    * the exact filter. False positives OVER-drop clean turns at ≈
+    * `shinglesPerTurn × 2^(-0.69·bitsPerKey)` (≈1 in 10⁴ shingles at 14
+    * bits/key) — the safe failure direction for decontamination; run the
+    * exact batch audit ([[graft.ops.DedupOps.contaminationSpans]]) when
+    * per-row exactness matters.
+    *
+    * The probe key mirrors the batch build exactly: Spark's
+    * `xxhash64(xxhash64(shingle))` recomputed per element with catalyst's
+    * own XXH64 (parity is asserted in StreamingSpec, so the stream can
+    * never probe a different key space than the index it was built from).
+    */
+  def decontaminateStreamBloom(turns: Dataset[Turn], bench: DataFrame,
+                               benchTextCol: String = "text", k: Int = 13,
+                               bitsPerKey: Int = 14): Dataset[Turn] = {
+    require(bitsPerKey >= 1 && bitsPerKey <= 64,
+      s"bitsPerKey must be in [1,64]: $bitsPerKey")
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val benchSet = graft.ops.DedupOps.benchShingleSet(
+      bench, benchTextCol, k, hashed = true)
+    val n = benchSet.count()
+    if (n == 0) { benchSet.unpersist(blocking = false); return turns }
+    val numBits = ((n * bitsPerKey + 63) / 64) * 64
+    val model = graft.ops.BloomOps.buildBloom(
+      benchSet.select(xxhash64(col("sh")).as("h")),
+      numBits, graft.ops.BloomOps.hashesFor(numBits, n))
+    benchSet.unpersist(blocking = false)
+    val bc = spark.sparkContext.broadcast(model)
+    val hasHit = udf { (sh: Seq[String]) =>
+      sh != null && sh.exists { s => bc.value.contains(sparkShingleKey(s)) }
+    }
+    turns.toDF()
+      .filter(!hasHit(graft.ops.TextOps.shingles(col("text"), k)))
+      .as[Turn]
+  }
+
+  /** Scala mirror of the batch-side bloom key `xxhash64(xxhash64(s))`
+    * (both with Spark's default seed 42), via catalyst's own XXH64 —
+    * StreamingSpec pins equality against the Column expression.
+    */
+  private[streaming] def sparkShingleKey(s: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    XXH64.hashLong(
+      XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L),
+      42L)
+  }
+
   /** Stateless streaming LM-quality filter: keep turns whose bits-per-token
     * under the reference bigram model is ≤ `maxBits`. The model tables are
     * collected ONCE with [[graft.ops.LmOps.collectBigramModel]]'s

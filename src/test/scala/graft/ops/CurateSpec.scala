@@ -164,4 +164,33 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("topk_by_score") || plan.contains("TopKByScore"),
       s"expected the native bounded-heap aggregate:\n$plan")
   }
+
+  // ---- dataCard -----------------------------------------------------------
+
+  test("dataCard: hand-computed card incl. dominant-language tie and empty docs") {
+    val d = spark.createDataFrame(Seq(
+      (1L, "a b c", "en", "web"),       // 3 tokens, 5 chars
+      (2L, "d e", "en", "web"),         // 2 tokens, 3 chars
+      (3L, "f g h i", "fr", "web"),     // 4 tokens, 7 chars
+      (4L, "", "fr", "web"),            // empty (0 tokens, 0 chars)
+      (5L, "j", "de", "books"),         // TIE in books: de=1, en=1 -> de wins
+      (6L, "k l", "en", "books")
+    )).toDF("doc_id", "text", "lang", "source")
+    val out = CurateOps.dataCard(d, "source", "text", "lang")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getDouble(6), r.getDouble(7)))
+    assert(out.toSeq == Seq(
+      ("books", 2L, 3L, 0L, 2L, "de", 1.5, 2.0),
+      // web: 4 docs, 9 tokens, 1 empty, 2 langs, en dominates (2 docs vs fr 2)
+      // -- en vs fr TIE on 2 docs each -> en (ascending code)
+      ("web", 4L, 9L, 1L, 2L, "en", 2.25, 3.75)))
+  }
+
+  test("dataCard plans as aggregates only — no window, no text above the scan") {
+    val d = corpus().withColumn("lang", lit("en")).withColumn("text", lit("a b"))
+    val plan = CurateOps.dataCard(d, "grp", "text", "lang")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"dominant-language pick must be an aggregate:\n$plan")
+  }
 }

@@ -6,6 +6,7 @@ import graft.core.TagAttributes
 import graft.pipeline.{ExtractJob, TranscriptGen, Turn}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, xxhash64}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -320,6 +321,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
       assert(rows.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)), rows.mkString(","))
       assert(rows.length == 3, s"pairs must be exactly-once: ${rows.mkString(",")}")
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("bloom stream probe key equals Spark's xxhash64(xxhash64(s)) exactly") {
+    val samples = Seq("a b c d e", "", "émoji 😀 unicode", "the quick brown fox",
+      "x" * 500, "tab\tand\nnewline")
+    val fromSpark = spark.createDataFrame(samples.map(Tuple1(_))).toDF("s")
+      .select(col("s"), xxhash64(xxhash64(col("s"))).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(StreamingExtract.sparkShingleKey(s) == fromSpark(s),
+        s"key mismatch for '$s'")
+    }
+  }
+
+  test("bloom streaming decontamination: drops contaminated, keeps clean, works past the broadcast guard") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"))).toDF("bid", "text")
+    // the exact filter REFUSES at this (deliberately tiny) guard — the
+    // bloom variant is the path that still works
+    intercept[IllegalArgumentException] {
+      StreamingExtract.decontaminateStream(
+        spark.readStream.format("rate").load().selectExpr(
+          "cast(value as string) as conv_id", "0 as turn_idx",
+          "'u' as role", "'t' as text", "'' as tool", "timestamp as ts").as[Turn],
+        bench, "text", k = 5, maxBenchShingles = 2)
+    }
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract
+      .decontaminateStreamBloom(input.toDS(), bench, "text", k = 5, bitsPerKey = 20)
+      .writeStream.format("memory").queryName("decon_bloom_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(conv: String, text: String, off: Long) =
+        Turn(conv, 0, "user", text, "", new Timestamp(1700000000000L + off))
+      input.addData(
+        t("dirty", "prefix words then the quick brown fox jumps over more text", 0),
+        t("clean", "completely unrelated sentence with no benchmark overlap at all", 1),
+        t("clean2", "another clean one here definitely fine", 2))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("decon_bloom_out").collect()
+        .map(_.getAs[String]("conv_id")).toSet
+      assert(got == Set("clean", "clean2"), got.mkString(","))
     } finally if (q.isActive) q.stop()
   }
 

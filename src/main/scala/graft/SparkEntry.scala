@@ -1635,8 +1635,8 @@ object SparkEntry {
 
     "q_data_card" ->
       """WITH t AS (SELECT source, lang,
-        |    CASE WHEN trim(text) = '' THEN 0
-        |         ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS nt,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS nt,
         |    length(coalesce(text, '')) AS nc
         |  FROM documents),
         |pl AS (SELECT source, lang, count(*) AS docs, sum(nt) AS toks,

@@ -95,9 +95,18 @@ object BloomOps {
     * and each executor hold one `numBits/8`-byte array — size `numBits`
     * for the BENCH side (small by nature), never the corpus.
     */
+  /** Largest representable bitset: word count must fit an Int (array
+    * index), i.e. numBits ≤ 64·(2³¹−1) ≈ 1.37×10¹¹ bits (~16 GiB).
+    */
+  val MaxBits: Long = 64L * Int.MaxValue
+
   def buildBloom(keys: DataFrame, numBits: Long, numHashes: Int): BloomModel = {
     require(numBits >= 64 && numBits % 64 == 0,
       s"numBits must be a positive multiple of 64: $numBits")
+    require(numBits <= MaxBits,
+      s"numBits $numBits exceeds MaxBits $MaxBits (~16 GiB bitset — the " +
+        "long-array word count must fit an Int); lower bitsPerKey or split " +
+        "the benchmark")
     require(numHashes >= 1 && numHashes <= 32,
       s"numHashes must be in [1,32]: $numHashes")
     val schema = keys.schema

@@ -146,7 +146,10 @@ object CurateOps {
     */
   def dataCard(df: DataFrame, groupCol: String, textCol: String,
                langCol: String): DataFrame = {
-    val toks = TextOps.tokens(lower(col(textCol)))
+    // null text is in-domain (token-free, zero chars — same as ""), and
+    // no lower(): token COUNT is case-invariant, so lowercasing the whole
+    // corpus here would be pure wasted CPU
+    val toks = TextOps.tokens(coalesce(col(textCol), lit("")))
     val perLang = df
       .select(col(groupCol).as("source"), col(langCol).as("__lang"),
         size(toks).cast("long").as("__nt"),

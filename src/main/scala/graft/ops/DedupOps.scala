@@ -838,28 +838,15 @@ object DedupOps {
     contaminationJoined(train, bench, idCol, textCol, k, hashed, benchBroadcastLimit,
       withPos = true)
 
-  /** Shared train⋈bench shingle join: (id[, pos], sh) rows of the train
-    * side restricted to shingles present in the bench side. Without `pos`
-    * the train shingles are de-duplicated per doc (hit counting); with
-    * `pos` every occurrence is kept (audit spans).
-    */
-  /** The guarded bench side shared by every decontamination operator:
-    * distinct (possibly xxhash64-keyed) shingle set, computed ONCE and
-    * cached (persist, NOT checkpoint: lineage stays intact, so a lost
-    * executor recomputes the blocks instead of failing the job — these
-    * operators are pitched at cluster scale; the guard count and the join
-    * read the same cached blocks, and on the shuffle-join fallback the
-    * cache saves a second corpus-scale aggregation). The broadcast hint
-    * applies only below `benchBroadcastLimit` rows, with a type-aware
-    * default (5×10⁷ 8-byte hashed keys ~0.4 GB; 5×10⁶ k-word strings —
-    * 5×10⁷ of them would blow Spark's 8 GB broadcast ceiling). `-1` =
-    * auto, `0` = never broadcast, positive = explicit row limit. The
-    * cache is released by Spark's ContextCleaner when the frame is GC'd.
-    */
-  /** The distinct (possibly xxhash64-keyed) bench shingle set, cached —
-    * shared by the broadcast-guarded decontamination operators here AND
-    * [[graft.ops.BloomOps.contaminationBloom]], so the bench-side
-    * semantics cannot drift between the two families.
+  /** The distinct (possibly xxhash64-keyed) bench shingle set, computed
+    * ONCE and cached (persist, NOT checkpoint: lineage stays intact, so a
+    * lost executor recomputes the blocks instead of failing the job; the
+    * cache is released by Spark's ContextCleaner when the frame is GC'd).
+    * Shared by the broadcast-guarded decontamination operators here AND
+    * [[graft.ops.BloomOps.contaminationBloom]] /
+    * [[graft.streaming.StreamingExtract.decontaminateStreamBloom]], so
+    * the bench-side semantics cannot drift between the families. Applies
+    * NO broadcast hint — that guard belongs to [[benchShingleSide]].
     */
   private[graft] def benchShingleSet(bench: DataFrame, textCol: String,
                                      k: Int, hashed: Boolean): DataFrame = {
@@ -871,6 +858,15 @@ object DedupOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** The guarded bench side shared by every batch decontamination
+    * operator: [[benchShingleSet]] plus the broadcast decision. The
+    * broadcast hint applies only below `benchBroadcastLimit` rows, with a
+    * type-aware default (5×10⁷ 8-byte hashed keys ~0.4 GB; 5×10⁶ k-word
+    * strings — 5×10⁷ of them would blow Spark's 8 GB broadcast ceiling).
+    * `-1` = auto, `0` = never broadcast, positive = explicit row limit;
+    * above the limit the set returns un-hinted (shuffle-join fallback —
+    * the guard count and the join read the same cached blocks).
+    */
   private def benchShingleSide(bench: DataFrame, textCol: String, k: Int,
                                hashed: Boolean,
                                benchBroadcastLimit: Long,
@@ -893,6 +889,11 @@ object DedupOps {
     }
   }
 
+  /** Shared train⋈bench shingle join: (id[, pos], sh) rows of the train
+    * side restricted to shingles present in the bench side. Without `pos`
+    * the train shingles are de-duplicated per doc (hit counting); with
+    * `pos` every occurrence is kept (audit spans).
+    */
   private def contaminationJoined(train: DataFrame, bench: DataFrame,
                                   idCol: String, textCol: String,
                                   k: Int, hashed: Boolean,

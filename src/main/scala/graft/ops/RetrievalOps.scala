@@ -93,13 +93,18 @@ object RetrievalOps {
     * exactly) with the same (score desc, doc_id asc) total order as the
     * SQL `row_number()`.
     *
-    * Scale shape: ONE corpus scan — tokenize once, carry the doc length
-    * alongside the exploded stream, semi-join against the broadcast query
-    * terms IN the scan stage so everything past it (tf, df, the score
-    * join) is sized by |query terms|, not |vocabulary|; the corpus never
-    * shuffles to meet the queries. The per-query ranking is the
-    * bounded-heap `topk_by_score` aggregate (O(topK) state on partial and
-    * final sides), never a window over a query's full candidate list — a
+    * Scale shape: the TOKEN pass scans the corpus once — tokenize once,
+    * carry the doc length alongside the exploded stream, semi-join
+    * against the broadcast query terms IN the scan stage so everything
+    * past it (tf, df, the score join) is sized by |query terms|, not
+    * |vocabulary|; the corpus never shuffles to meet the queries. The
+    * corpus-stats branch (N, avgdl) is a second, cheaper scan — a
+    * count+sum partial aggregate with no explode and no shuffle,
+    * recomputed here so the operator is self-contained and
+    * oracle-checkable (a real serving deployment precomputes it once per
+    * corpus version). The per-query ranking is the bounded-heap
+    * `topk_by_score` aggregate (O(topK) state on partial and final
+    * sides), never a window over a query's full candidate list — a
     * stopword-ish query term matching 10⁹ documents pre-reduces to
     * partitions×topK pairs before the exchange.
     */

@@ -124,10 +124,14 @@ object StreamingExtract {
     * Semantics: a turn drops when ANY of its word k-grams probes positive.
     * No false negatives — every genuinely contaminated turn drops, same as
     * the exact filter. False positives OVER-drop clean turns at ≈
-    * `shinglesPerTurn × 2^(-0.69·bitsPerKey)` (≈1 in 10⁴ shingles at 14
-    * bits/key) — the safe failure direction for decontamination; run the
-    * exact batch audit ([[graft.ops.DedupOps.contaminationSpans]]) when
-    * per-row exactness matters.
+    * `shinglesPerTurn × 0.6185^bitsPerKey` (the optimal-hash Bloom rate:
+    * ≈1.2×10⁻³ per shingle at 14 bits/key, ~1 in 800; use 20+ bits/key
+    * for a ≤10⁻⁴ budget) — the safe failure direction for
+    * decontamination; run the exact batch audit
+    * ([[graft.ops.DedupOps.contaminationSpans]]) when per-row exactness
+    * matters. Bench sets needing more than [[graft.ops.BloomOps.MaxBits]]
+    * bits (~16 GiB, ~10¹⁰ shingles at 14 bits/key) fail fast with a clear
+    * message instead of an array-size crash.
     *
     * The probe key mirrors the batch build exactly: Spark's
     * `xxhash64(xxhash64(shingle))` recomputed per element with catalyst's
@@ -146,6 +150,14 @@ object StreamingExtract {
     val n = benchSet.count()
     if (n == 0) { benchSet.unpersist(blocking = false); return turns }
     val numBits = ((n * bitsPerKey + 63) / 64) * 64
+    if (numBits > graft.ops.BloomOps.MaxBits) {
+      benchSet.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"decontaminateStreamBloom: $n bench shingles at $bitsPerKey " +
+          s"bits/key need $numBits bits > BloomOps.MaxBits " +
+          s"${graft.ops.BloomOps.MaxBits} (~16 GiB) — lower bitsPerKey or " +
+          "split the benchmark across multiple filters")
+    }
     val model = graft.ops.BloomOps.buildBloom(
       benchSet.select(xxhash64(col("sh")).as("h")),
       numBits, graft.ops.BloomOps.hashesFor(numBits, n))

@@ -174,7 +174,8 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "f g h i", "fr", "web"),     // 4 tokens, 7 chars
       (4L, "", "fr", "web"),            // empty (0 tokens, 0 chars)
       (5L, "j", "de", "books"),         // TIE in books: de=1, en=1 -> de wins
-      (6L, "k l", "en", "books")
+      (6L, "k l", "en", "books"),
+      (7L, null.asInstanceOf[String], "en", "web") // null text == token-free
     )).toDF("doc_id", "text", "lang", "source")
     val out = CurateOps.dataCard(d, "source", "text", "lang")
       .orderBy("source").collect()
@@ -182,9 +183,15 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getLong(4), r.getString(5), r.getDouble(6), r.getDouble(7)))
     assert(out.toSeq == Seq(
       ("books", 2L, 3L, 0L, 2L, "de", 1.5, 2.0),
-      // web: 4 docs, 9 tokens, 1 empty, 2 langs, en dominates (2 docs vs fr 2)
-      // -- en vs fr TIE on 2 docs each -> en (ascending code)
-      ("web", 4L, 9L, 1L, 2L, "en", 2.25, 3.75)))
+      // web: 5 docs, 9 tokens, 2 empty (one "" + one null), 2 langs,
+      // en dominates 3 (incl. the null-text doc) vs fr 2
+      ("web", 5L, 9L, 2L, 2L, "en", 1.8, 3.0)))
+    // an all-null-text source reports zeros, never NULL aggregates
+    val n = spark.createDataFrame(Seq((1L, null.asInstanceOf[String], "en", "void")))
+      .toDF("doc_id", "text", "lang", "source")
+    val row = CurateOps.dataCard(n, "source", "text", "lang").collect()(0)
+    assert(row.getLong(1) == 1L && row.getLong(2) == 0L && row.getLong(3) == 1L)
+    assert(row.getDouble(6) == 0.0 && row.getDouble(7) == 0.0)
   }
 
   test("dataCard plans as aggregates only — no window, no text above the scan") {

@@ -1201,6 +1201,24 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing (deterministic stub decode; oracled) ---------
+    "q_media_phash" -> ((s, dir) => {
+      // perceptual-hash near-dup pipeline over the synthesized corpus
+      // (payload bytes -> deterministic stub content key): at radius 0
+      // the pairs are exactly the byte-identical payloads. The corpus has
+      // no natural duplicate texts, so every doc_id % 7 == 0 doc gets a
+      // planted copy at +1000000 — the expected pair set is SQL-derivable
+      // and the whole hash/band/join/popcount pipeline oracles end-to-end
+      // (the real-codec visual radius is proven on real PNGs in
+      // MediaCodecSpec)
+      val d = docs(s, dir)
+      val withCopies = d.select(col("doc_id"), col("text")).unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val media = MediaOps.synthesize(withCopies)
+      MediaOps.imageNearDups(media, maxHamming = 0)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_media_features" -> ((s, dir) => {
       val media = MediaOps.synthesize(docs(s, dir))
       MediaOps.extractFeatures(media).toDF()
@@ -2524,6 +2542,15 @@ object SparkEntry {
     "q_pdf_extract" ->
       """SELECT doc_id, cast(doc_id % 4 AS int) AS variant, text AS roundtrip
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_phash" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT a.doc_id * 10 + 1 AS id_a, b.doc_id * 10 + 1 AS id_b,
+        |  cast(0 AS int) AS hamming
+        |FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_media_features" ->
       """SELECT doc_id * 10 + 1 AS media_id, doc_id,

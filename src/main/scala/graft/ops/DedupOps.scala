@@ -1125,6 +1125,60 @@ object DedupOps {
     result
   }
 
+  /** Hamming-banded near-dup over PRECOMPUTED 64-bit signatures — the
+    * generic core behind media perceptual hashes (text SimHash keeps its
+    * own fingerprint-collapsed pipeline): `sigs` carries one signature
+    * per id; the 64-bit key splits into `nBands` equal slices that bucket
+    * the candidate join. Pigeonhole guarantee: a pair at hamming
+    * < nBands differs in fewer bits than there are bands, so at least one
+    * band is bit-equal — recall is 100% up to `nBands − 1`; wider
+    * distances surface only via a luckily-equal band (raise nBands for
+    * wider radii: 16 bands of 4 bits guarantee ≤ 15). Output
+    * `(id_a, id_b, hamming)` with id_a < id_b.
+    *
+    * Scale shape: the band explode is map-side and only (id, band,
+    * bucket) ≈ 20 B rows shuffle; signatures join back by id for the
+    * popcount verify (8-byte values); degenerate buckets (all-black
+    * thumbnails, a solid-color meme template repeated 10⁹ times) are
+    * capped by `maxBucket` with the same skip-accounting warning as the
+    * text paths — capped pairs may still surface via their other bands.
+    */
+  def hammingNearDups(sigs: DataFrame, idCol: String, sigCol: String,
+                      maxHamming: Int = 6, nBands: Int = 8,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(nBands >= 1 && nBands <= 64 && 64 % nBands == 0,
+      s"nBands must divide 64: $nBands")
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming must be in [0,64]: $maxHamming")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val spark = sigs.sparkSession
+    val skipped = spark.sparkContext
+      .collectionAccumulator[(Int, Long, Long)]("graft.dedup.hamming.skippedBuckets")
+    val s = sigs
+      .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = s.select(col("id"), posexplode(array(
+      (0 until nBands).map(b =>
+        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
+      .as(Seq("band", "bucket")))
+    val result = bucketJoin(banded, maxBucket, Some(skipped))
+      .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    s.unpersist(blocking = false)
+    val nSkipped = skippedPairCount(skipped)
+    if (nSkipped > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
+        s"hammingNearDups: bucket guard (maxBucket=$maxBucket) skipped up to " +
+          s"$nSkipped candidate pairs (pairs may survive via other bands)")
+    result
+  }
+
   /** Map-side pass + per-fingerprint collapse for [[simhashNearDups]]:
     * (fp, rep, simhash) per distinct document. Package-visible for plan
     * tests (no text column above the exchange).

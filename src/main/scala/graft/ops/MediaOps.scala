@@ -165,6 +165,88 @@ object MediaOps {
     dst
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image: bilinear-downscale
+    * to 9×8, take the luminance, set bit (y·8+x) iff pixel (x,y) is
+    * brighter than its right neighbour. Robust to resizing, re-encoding,
+    * and mild color shifts — the standard perceptual key for image
+    * near-dup dedup; hamming distance between dHashes measures visual
+    * difference.
+    */
+  private[ops] def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val small = scaleImage(img, 9, 8)
+    def lum(rgb: Int): Double =
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+    var bits = 0L
+    var i = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(small.getRGB(x, y)) > lum(small.getRGB(x + 1, y))) bits |= 1L << i
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** ======== STUB fallback ======== undecodable payloads have no visual
+    * content, so "perceptual similarity" is undefined for them — the only
+    * meaningful dedup key is exact bytes. The fallback is therefore a
+    * full-avalanche 64-bit content hash: byte-identical payloads collide
+    * exactly (hamming 0), and any two DIFFERENT payloads land ~32 bits
+    * apart in expectation, far outside every near-dup radius. (A
+    * grid-derived pseudo-dHash was tried and rejected: correlated
+    * non-image payloads — same-vocabulary text bytes — collided at
+    * radius 0, silently inventing visual similarity that does not exist.)
+    */
+  private[ops] def dHashStub(payload: Array[Byte]): Long = {
+    val p = if (payload == null) Array.emptyByteArray else payload
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < p.length) {
+      h = (h ^ (p(i) & 0xffL)) * 0xc2b2ae3d27d4eb4fL
+      h ^= h >>> 29
+      i += 1
+    }
+    // fmix64 final avalanche: every input bit flips ~half the output bits
+    h ^= p.length.toLong
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  /** Perceptual hash per image row: `(media_id, doc_id, phash, decoded)`.
+    * Real codec path (ImageIO decode → [[dHashOf]]) with the
+    * deterministic stub fallback for undecodable payloads and non-image
+    * kinds — one map-side pass, no shuffle.
+    */
+  def imageDHash(media: Dataset[MediaFile]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val dec = if (m.kind == "image") decodeImage(m.payload) else None
+      dec match {
+        case Some(img) => (m.media_id, m.doc_id, dHashOf(img), true)
+        case None => (m.media_id, m.doc_id, dHashStub(m.payload), false)
+      }
+    }).toDF("media_id", "doc_id", "phash", "decoded")
+  }
+
+  /** Image near-dup pairs: dHash map-side, then the generic Hamming-banded
+    * candidate join ([[graft.ops.DedupOps.hammingNearDups]] — 8 bands of
+    * 8 bits: recall is guaranteed for hamming ≤ 7 ≥ the default radius).
+    * Output `(id_a, id_b, hamming)` over media_ids. Only
+    * (media_id, 8-byte phash) rows ever shuffle — payload bytes stay at
+    * the scan; degenerate perceptual buckets (solid-color thumbnails, a
+    * viral meme template) are capped by `maxBucket` with skip accounting.
+    */
+  def imageNearDups(media: Dataset[MediaFile], maxHamming: Int = 6,
+                    maxBucket: Int = Int.MaxValue): DataFrame =
+    DedupOps.hammingNearDups(imageDHash(media), "media_id", "phash",
+      maxHamming, nBands = 8, maxBucket = maxBucket)
+
   /** Codec-backed resize: decode (ImageIO), bilinear-scale, re-encode as
     * PNG, with true decoded dimensions in the metadata. Payloads that do
     * not decode fall back to the deterministic stub row so a mixed corpus

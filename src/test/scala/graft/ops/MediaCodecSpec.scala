@@ -188,4 +188,83 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f1.features(0) < 0.3f, s"left cell should be dark: ${f1.features.toSeq}")
     assert(f1.features(3) > 0.7f, s"right cell should be bright: ${f1.features.toSeq}")
   }
+
+  // ---- perceptual hashing (dHash) -----------------------------------------
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash is resize-invariant on real images and separates different content") {
+    def h(bytes: Array[Byte]): Long =
+      MediaOps.dHashOf(MediaOps.decodeImage(bytes).get)
+    val small = h(realImageBytes(64, 48, "png"))
+    val big = h(realImageBytes(128, 96, "png"))    // SAME gradient, 2x size
+    assert(hamming(small, big) <= 4,
+      s"resize must barely move the dHash: ${hamming(small, big)}")
+    // inverted gradient: structurally opposite image
+    val inv = {
+      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64)
+        img.setRGB(x, y, (((63 - x) * 255 / 64) << 16) | (((47 - y) * 255 / 48) << 8) | 0x40)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      h(bos.toByteArray)
+    }
+    assert(hamming(small, inv) > 20,
+      s"opposite content must be far: ${hamming(small, inv)}")
+  }
+
+  test("imageNearDups finds resized twins (real codec) and exact stub collisions, not distinct content") {
+    val junk = "definitely not an image payload".getBytes("UTF-8")
+    val inv = {
+      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64)
+        img.setRGB(x, y, (((63 - x) * 255 / 64) << 16) | (((47 - y) * 255 / 48) << 8) | 0x40)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val src = media(
+      (1L, "image", realImageBytes(64, 48, "png"), 64, 48),   // media_id 11
+      (2L, "image", realImageBytes(128, 96, "png"), 128, 96), // media_id 21: resized twin
+      (3L, "image", inv, 64, 48),                             // media_id 31: different
+      (4L, "image", junk, 0, 0),                              // media_id 41: stub path
+      (5L, "image", junk.clone(), 0, 0))                      // media_id 51: stub twin
+    val hashes = MediaOps.imageDHash(src).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(hashes(11L)._2 && hashes(21L)._2 && hashes(31L)._2, "real images decode")
+    assert(!hashes(41L)._2 && !hashes(51L)._2, "junk takes the stub path")
+    assert(hashes(41L)._1 == hashes(51L)._1, "byte-identical stubs collide exactly")
+    val pairs = MediaOps.imageNearDups(src, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((11L, 21L)), s"resized twin must pair: $pairs")
+    assert(pairs.contains((41L, 51L)) && pairs((41L, 51L)) == 0)
+    assert(!pairs.keySet.exists(p => p._1 == 31L || p._2 == 31L),
+      s"distinct content must not pair: $pairs")
+  }
+
+  test("hammingNearDups: pigeonhole recall guarantee and radius cut") {
+    val rnd = new scala.util.Random(31)
+    def flip(sig: Long, n: Int): Long = {
+      var s = sig
+      rnd.shuffle((0 until 64).toList).take(n).foreach(b => s ^= 1L << b)
+      s
+    }
+    val bases = (0 until 50).map(i => (i.toLong * 2, rnd.nextLong()))
+    // plant twins at hamming 1..7 (all < 8 bands -> guaranteed recall)
+    val twins = bases.take(7).zipWithIndex.map { case ((id, sig), i) =>
+      (id + 1, flip(sig, i + 1))
+    }
+    // and one far pair at hamming 20 (over the radius -> excluded)
+    val far = Seq((999L, flip(bases.head._2, 20)))
+    val sigs = spark.createDataFrame(bases ++ twins ++ far).toDF("id", "sig")
+    val pairs = DedupOps.hammingNearDups(sigs, "id", "sig", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    twins.zip(bases.take(7)).foreach { case ((tid, _), (bid, _)) =>
+      assert(pairs.contains((bid, tid)), s"planted twin ($bid,$tid) missed: $pairs")
+    }
+    assert(!pairs.exists(p => p._1 == 999L || p._2 == 999L),
+      "a hamming-20 pair is outside the radius")
+    intercept[IllegalArgumentException](
+      DedupOps.hammingNearDups(sigs, "id", "sig", nBands = 7))
+  }
 }

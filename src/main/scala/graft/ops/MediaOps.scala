@@ -247,6 +247,27 @@ object MediaOps {
     DedupOps.hammingNearDups(imageDHash(media), "media_id", "phash",
       maxHamming, nBands = 8, maxBucket = maxBucket)
 
+  /** Visual dedup composition — the image analogue of
+    * [[graft.ops.DedupOps.dedupCorpus]]: perceptual near-dup pairs →
+    * connected components (strict: an unconverged labeling could silently
+    * drop keepers) → min-media_id keeper per visual cluster; returns the
+    * surviving rows. Scale shape: pairs shuffle (id, 8-byte phash) rows,
+    * the CC iterates on two-long rows, and the loser anti-join keys on
+    * media_id — payload bytes never cross an exchange anywhere in the
+    * composition.
+    */
+  def dedupImages(media: Dataset[MediaFile], maxHamming: Int = 6,
+                  maxBucket: Int = Int.MaxValue,
+                  maxIter: Int = 20): Dataset[MediaFile] = {
+    val pairs = imageNearDups(media, maxHamming, maxBucket)
+      .select("id_a", "id_b")
+    val labels = DedupOps.connectedComponents(pairs, maxIter, strict = true)
+    val losers = labels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("media_id"))
+    import media.sparkSession.implicits._
+    media.join(losers, Seq("media_id"), "left_anti").as[MediaFile]
+  }
+
   /** Codec-backed resize: decode (ImageIO), bilinear-scale, re-encode as
     * PNG, with true decoded dimensions in the metadata. Payloads that do
     * not decode fall back to the deterministic stub row so a mixed corpus

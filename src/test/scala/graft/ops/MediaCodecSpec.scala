@@ -242,6 +242,28 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"distinct content must not pair: $pairs")
   }
 
+  test("dedupImages keeps one representative per visual cluster, min media_id") {
+    val junk = "junk payload not an image".getBytes("UTF-8")
+    val inv = {
+      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64)
+        img.setRGB(x, y, (((63 - x) * 255 / 64) << 16) | (((47 - y) * 255 / 48) << 8) | 0x40)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val src = media(
+      (1L, "image", realImageBytes(64, 48, "png"), 64, 48),   // 11: cluster A keeper
+      (2L, "image", realImageBytes(128, 96, "png"), 128, 96), // 21: A (resized twin)
+      (3L, "image", realImageBytes(96, 72, "png"), 96, 72),   // 31: A (another size)
+      (4L, "image", inv, 64, 48),                             // 41: distinct, survives
+      (5L, "image", junk, 0, 0),                              // 51: stub cluster keeper
+      (6L, "image", junk.clone(), 0, 0))                      // 61: stub twin, drops
+    val survivors = MediaOps.dedupImages(src, maxHamming = 6)
+      .collect().map(_.media_id).toSet
+    assert(survivors == Set(11L, 41L, 51L), s"got $survivors")
+  }
+
   test("hammingNearDups: pigeonhole recall guarantee and radius cut") {
     val rnd = new scala.util.Random(31)
     def flip(sig: Long, n: Int): Long = {

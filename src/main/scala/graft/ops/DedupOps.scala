@@ -1096,18 +1096,9 @@ object DedupOps {
       .select(col("id"), col("rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val sigs = repAgg.select(col("rep").as("id"), col("sim"))
-    val banded = sigs.select(col("id"), posexplode(array(
-      (0 until 4).map(b => shiftrightunsigned(col("sim"), b * 16).bitwiseAND(0xffffL)): _*))
-      .as(Seq("band", "bucket")))
-
-    val cand = bucketJoin(banded, maxBucket, Some(skipped))
-    val repPairs = cand
-      .join(sigs.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    val sigs = repAgg.select(col("rep").as("id"), col("sim").as("sig"))
+    val repPairs =
+      bandedHammingPairs(sigs, nBands = 4, maxHamming, maxBucket, Some(skipped))
 
     val cross = expandCross(repPairs, byRep, Seq("hamming"))
     val within = withinGroupPairs(byRep)
@@ -1142,6 +1133,11 @@ object DedupOps {
     * thumbnails, a solid-color meme template repeated 10⁹ times) are
     * capped by `maxBucket` with the same skip-accounting warning as the
     * text paths — capped pairs may still surface via their other bands.
+    *
+    * The returned frame is persisted and materialized (the pair list is
+    * consumed repeatedly downstream — clustering, keeper joins); the
+    * CALLER unpersists it when done, same contract as
+    * [[minhashNearDups]].
     */
   def hammingNearDups(sigs: DataFrame, idCol: String, sigCol: String,
                       maxHamming: Int = 6, nBands: Int = 8,
@@ -1158,16 +1154,7 @@ object DedupOps {
     val s = sigs
       .select(col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = s.select(col("id"), posexplode(array(
-      (0 until nBands).map(b =>
-        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
-      .as(Seq("band", "bucket")))
-    val result = bucketJoin(banded, maxBucket, Some(skipped))
-      .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    val result = bandedHammingPairs(s, nBands, maxHamming, maxBucket, Some(skipped))
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
     s.unpersist(blocking = false)
@@ -1177,6 +1164,28 @@ object DedupOps {
         s"hammingNearDups: bucket guard (maxBucket=$maxBucket) skipped up to " +
           s"$nSkipped candidate pairs (pairs may survive via other bands)")
     result
+  }
+
+  /** The band-explode → bucket-join → popcount-verify core shared by
+    * [[hammingNearDups]] and [[simhashNearDups]]: `s` = (id, sig) rows
+    * (caller persists — this frame is consumed three times). Returns an
+    * UNPERSISTED (id_a, id_b, hamming) frame.
+    */
+  private def bandedHammingPairs(s: DataFrame, nBands: Int, maxHamming: Int,
+                                 maxBucket: Int,
+                                 skipped: Option[org.apache.spark.util.CollectionAccumulator[(Int, Long, Long)]]): DataFrame = {
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = s.select(col("id"), posexplode(array(
+      (0 until nBands).map(b =>
+        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
+      .as(Seq("band", "bucket")))
+    bucketJoin(banded, maxBucket, skipped)
+      .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** Map-side pass + per-fingerprint collapse for [[simhashNearDups]]:

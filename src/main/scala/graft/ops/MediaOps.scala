@@ -217,17 +217,21 @@ object MediaOps {
     h ^ (h >>> 33)
   }
 
-  /** Perceptual hash per image row: `(media_id, doc_id, phash, decoded)`.
-    * Real codec path (ImageIO decode → [[dHashOf]]) with the
-    * deterministic stub fallback for undecodable payloads and non-image
-    * kinds — one map-side pass, no shuffle.
+  /** Perceptual hash per row: `(media_id, doc_id, phash, decoded)`. Real
+    * codec path (ImageIO decode → [[dHashOf]]) with the deterministic
+    * content-hash fallback for undecodable payloads — one map-side pass,
+    * no shuffle. The decode attempt deliberately ignores `kind`: the hash
+    * must be a function of the BYTES alone, so a mislabeled row (a real
+    * image tagged "video" in a crawl) still pairs with its byte-identical
+    * or visually-near twin instead of silently landing in a different
+    * hash family. ImageIO fails fast on non-image magic bytes, so the
+    * attempt costs a header sniff on audio/video rows.
     */
   def imageDHash(media: Dataset[MediaFile]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val dec = if (m.kind == "image") decodeImage(m.payload) else None
-      dec match {
+      decodeImage(m.payload) match {
         case Some(img) => (m.media_id, m.doc_id, dHashOf(img), true)
         case None => (m.media_id, m.doc_id, dHashStub(m.payload), false)
       }
@@ -235,17 +239,25 @@ object MediaOps {
   }
 
   /** Image near-dup pairs: dHash map-side, then the generic Hamming-banded
-    * candidate join ([[graft.ops.DedupOps.hammingNearDups]] — 8 bands of
-    * 8 bits: recall is guaranteed for hamming ≤ 7 ≥ the default radius).
-    * Output `(id_a, id_b, hamming)` over media_ids. Only
-    * (media_id, 8-byte phash) rows ever shuffle — payload bytes stay at
-    * the scan; degenerate perceptual buckets (solid-color thumbnails, a
-    * viral meme template) are capped by `maxBucket` with skip accounting.
+    * candidate join ([[graft.ops.DedupOps.hammingNearDups]]). This wrapper
+    * ENFORCES the pigeonhole guarantee — `maxHamming < nBands` — so a
+    * caller cannot widen the radius past guaranteed recall without also
+    * raising the band count (nBands must divide 64). Output
+    * `(id_a, id_b, hamming)` over media_ids; the returned frame is
+    * persisted — caller unpersists when done. Only (media_id, 8-byte
+    * phash) rows ever shuffle — payload bytes stay at the scan;
+    * degenerate perceptual buckets (solid-color thumbnails, a viral meme
+    * template) are capped by `maxBucket` with skip accounting.
     */
   def imageNearDups(media: Dataset[MediaFile], maxHamming: Int = 6,
-                    maxBucket: Int = Int.MaxValue): DataFrame =
+                    maxBucket: Int = Int.MaxValue, nBands: Int = 8): DataFrame = {
+    require(maxHamming < nBands,
+      s"maxHamming $maxHamming >= nBands $nBands would lose the pigeonhole " +
+        "recall guarantee (a pair can differ in every band and never " +
+        "candidate) — raise nBands (must divide 64)")
     DedupOps.hammingNearDups(imageDHash(media), "media_id", "phash",
-      maxHamming, nBands = 8, maxBucket = maxBucket)
+      maxHamming, nBands = nBands, maxBucket = maxBucket)
+  }
 
   /** Visual dedup composition — the image analogue of
     * [[graft.ops.DedupOps.dedupCorpus]]: perceptual near-dup pairs →
@@ -257,15 +269,19 @@ object MediaOps {
     * composition.
     */
   def dedupImages(media: Dataset[MediaFile], maxHamming: Int = 6,
-                  maxBucket: Int = Int.MaxValue,
+                  maxBucket: Int = Int.MaxValue, nBands: Int = 8,
                   maxIter: Int = 20): Dataset[MediaFile] = {
-    val pairs = imageNearDups(media, maxHamming, maxBucket)
-      .select("id_a", "id_b")
-    val labels = DedupOps.connectedComponents(pairs, maxIter, strict = true)
-    val losers = labels.filter(col("id") =!= col("cluster"))
-      .select(col("id").as("media_id"))
-    import media.sparkSession.implicits._
-    media.join(losers, Seq("media_id"), "left_anti").as[MediaFile]
+    val pairs = imageNearDups(media, maxHamming, maxBucket, nBands)
+    try {
+      val labels = DedupOps.connectedComponents(
+        pairs.select("id_a", "id_b"), maxIter, strict = true)
+      val losers = labels.filter(col("id") =!= col("cluster"))
+        .select(col("id").as("media_id"))
+      import media.sparkSession.implicits._
+      media.join(losers, Seq("media_id"), "left_anti").as[MediaFile]
+    } finally pairs.unpersist(blocking = false)
+    // safe to release before the caller's action: the survivor frame
+    // depends only on the CC labels, which are checkpoint-truncated
   }
 
   /** Codec-backed resize: decode (ImageIO), bilinear-scale, re-encode as

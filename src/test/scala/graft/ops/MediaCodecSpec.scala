@@ -193,6 +193,17 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** The structural opposite of [[realImageBytes]]' gradient. */
+  private def invertedImageBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        (((w - 1 - x) * 255 / w) << 16) | (((h - 1 - y) * 255 / h) << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   test("dHash is resize-invariant on real images and separates different content") {
     def h(bytes: Array[Byte]): Long =
       MediaOps.dHashOf(MediaOps.decodeImage(bytes).get)
@@ -201,57 +212,45 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hamming(small, big) <= 4,
       s"resize must barely move the dHash: ${hamming(small, big)}")
     // inverted gradient: structurally opposite image
-    val inv = {
-      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 48; x <- 0 until 64)
-        img.setRGB(x, y, (((63 - x) * 255 / 64) << 16) | (((47 - y) * 255 / 48) << 8) | 0x40)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      h(bos.toByteArray)
-    }
+    val inv = h(invertedImageBytes(64, 48))
     assert(hamming(small, inv) > 20,
       s"opposite content must be far: ${hamming(small, inv)}")
   }
 
   test("imageNearDups finds resized twins (real codec) and exact stub collisions, not distinct content") {
     val junk = "definitely not an image payload".getBytes("UTF-8")
-    val inv = {
-      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 48; x <- 0 until 64)
-        img.setRGB(x, y, (((63 - x) * 255 / 64) << 16) | (((47 - y) * 255 / 48) << 8) | 0x40)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
+    val inv = invertedImageBytes(64, 48)
     val src = media(
       (1L, "image", realImageBytes(64, 48, "png"), 64, 48),   // media_id 11
       (2L, "image", realImageBytes(128, 96, "png"), 128, 96), // media_id 21: resized twin
       (3L, "image", inv, 64, 48),                             // media_id 31: different
       (4L, "image", junk, 0, 0),                              // media_id 41: stub path
-      (5L, "image", junk.clone(), 0, 0))                      // media_id 51: stub twin
+      (5L, "image", junk.clone(), 0, 0),                      // media_id 51: stub twin
+      (6L, "video", realImageBytes(64, 48, "png"), 64, 48))   // 61: MISLABELED image
     val hashes = MediaOps.imageDHash(src).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
     assert(hashes(11L)._2 && hashes(21L)._2 && hashes(31L)._2, "real images decode")
     assert(!hashes(41L)._2 && !hashes(51L)._2, "junk takes the stub path")
     assert(hashes(41L)._1 == hashes(51L)._1, "byte-identical stubs collide exactly")
+    // the hash is a function of the bytes, not the kind label: a real
+    // image mislabeled "video" still decodes and hashes identically
+    assert(hashes(61L)._2 && hashes(61L)._1 == hashes(11L)._1,
+      "mislabeled image must hash via the codec path")
     val pairs = MediaOps.imageNearDups(src, maxHamming = 6).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs.contains((11L, 21L)), s"resized twin must pair: $pairs")
     assert(pairs.contains((41L, 51L)) && pairs((41L, 51L)) == 0)
+    assert(pairs.contains((11L, 61L)) && pairs((11L, 61L)) == 0,
+      s"mislabeled byte-identical image must pair: $pairs")
     assert(!pairs.keySet.exists(p => p._1 == 31L || p._2 == 31L),
       s"distinct content must not pair: $pairs")
+    // radius past the band count would lose guaranteed recall: rejected
+    intercept[IllegalArgumentException](MediaOps.imageNearDups(src, maxHamming = 8))
   }
 
   test("dedupImages keeps one representative per visual cluster, min media_id") {
     val junk = "junk payload not an image".getBytes("UTF-8")
-    val inv = {
-      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 48; x <- 0 until 64)
-        img.setRGB(x, y, (((63 - x) * 255 / 64) << 16) | (((47 - y) * 255 / 48) << 8) | 0x40)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
+    val inv = invertedImageBytes(64, 48)
     val src = media(
       (1L, "image", realImageBytes(64, 48, "png"), 64, 48),   // 11: cluster A keeper
       (2L, "image", realImageBytes(128, 96, "png"), 128, 96), // 21: A (resized twin)

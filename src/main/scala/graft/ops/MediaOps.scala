@@ -259,6 +259,66 @@ object MediaOps {
       maxHamming, nBands = nBands, maxBucket = maxBucket)
   }
 
+  /** 64-bit audio fingerprint over the decoded envelope: the clip splits
+    * into 65 equal time windows, bit i is set iff window i+1 has more RMS
+    * energy than window i — the dHash idea on the energy envelope.
+    * Invariant under uniform amplitude scaling (every RMS scales by the
+    * same factor, so the comparisons are unchanged) and under resampling
+    * (windows are time-fractions, not sample counts). Degenerate flat
+    * envelopes (a pure tone, silence) all hash to 0 and land in one
+    * bucket — exactly what the hot-bucket guard downstream is for.
+    */
+  private[ops] def audioEnvelopeHash(clip: AudioClip): Long = {
+    val n = clip.samples.length
+    if (n == 0) return 0L
+    val w = 65
+    val rms = new Array[Double](w)
+    var i = 0
+    while (i < w) {
+      val s = (n.toLong * i / w).toInt
+      val e = (n.toLong * (i + 1) / w).toInt
+      var acc = 0.0
+      var j = s
+      while (j < e) { acc += clip.samples(j).toDouble * clip.samples(j); j += 1 }
+      rms(i) = if (e > s) math.sqrt(acc / (e - s)) else 0.0
+      i += 1
+    }
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (rms(i + 1) > rms(i)) bits |= 1L << i; i += 1 }
+    bits
+  }
+
+  /** Audio fingerprint per row: `(media_id, doc_id, afp, decoded)` — real
+    * WAV path ([[decodeAudio]] → [[audioEnvelopeHash]]) with the same
+    * bytes-only avalanche fallback as images ([[dHashStub]]; the decode
+    * attempt ignores the kind label for the same mislabeled-row reason as
+    * [[imageDHash]]). One map-side pass, no shuffle.
+    */
+  def audioFingerprints(media: Dataset[MediaFile]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      decodeAudio(m.payload) match {
+        case Some(clip) => (m.media_id, m.doc_id, audioEnvelopeHash(clip), true)
+        case None => (m.media_id, m.doc_id, dHashStub(m.payload), false)
+      }
+    }).toDF("media_id", "doc_id", "afp", "decoded")
+  }
+
+  /** Audio near-dup pairs — same enforced-pigeonhole Hamming-banded shape
+    * as [[imageNearDups]], over the envelope fingerprints. The returned
+    * frame is persisted — caller unpersists when done.
+    */
+  def audioNearDups(media: Dataset[MediaFile], maxHamming: Int = 6,
+                    maxBucket: Int = Int.MaxValue, nBands: Int = 8): DataFrame = {
+    require(maxHamming < nBands,
+      s"maxHamming $maxHamming >= nBands $nBands would lose the pigeonhole " +
+        "recall guarantee — raise nBands (must divide 64)")
+    DedupOps.hammingNearDups(audioFingerprints(media), "media_id", "afp",
+      maxHamming, nBands = nBands, maxBucket = maxBucket)
+  }
+
   /** Visual dedup composition — the image analogue of
     * [[graft.ops.DedupOps.dedupCorpus]]: perceptual near-dup pairs →
     * connected components (strict: an unconverged labeling could silently

@@ -248,6 +248,62 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](MediaOps.imageNearDups(src, maxHamming = 8))
   }
 
+  /** Amplitude-modulated sine: the ENVELOPE (at `envHz`) is the content
+    * the audio fingerprint keys on; the carrier is perceptually the
+    * texture.
+    */
+  private def modulatedWavBytes(envHz: Double, seconds: Double,
+                                rate: Float = 8000f,
+                                carrierHz: Double = 440.0,
+                                amplitude: Double = 0.5): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = (seconds * rate).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val env = 0.5 + 0.5 * math.sin(2 * math.Pi * envHz * i / rate)
+      val s = (math.sin(2 * math.Pi * carrierHz * i / rate) * env * amplitude * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio fingerprint: amplitude- and resample-invariant, separates different envelopes") {
+    def fp(bytes: Array[Byte]): Long =
+      MediaOps.audioEnvelopeHash(MediaOps.decodeAudio(bytes).get)
+    val base = fp(modulatedWavBytes(3.0, seconds = 1.0, rate = 8000f, amplitude = 0.5))
+    val quiet = fp(modulatedWavBytes(3.0, seconds = 1.0, rate = 8000f, amplitude = 0.1))
+    assert(hamming(base, quiet) <= 2,
+      s"uniform amplitude scaling must preserve the envelope hash: ${hamming(base, quiet)}")
+    val resampled = fp(modulatedWavBytes(3.0, seconds = 1.0, rate = 16000f, amplitude = 0.5))
+    assert(hamming(base, resampled) <= 4,
+      s"resampling must barely move the hash: ${hamming(base, resampled)}")
+    val different = fp(modulatedWavBytes(7.0, seconds = 1.0, rate = 8000f, amplitude = 0.5))
+    assert(hamming(base, different) > 12,
+      s"a different envelope must be far: ${hamming(base, different)}")
+  }
+
+  test("audioNearDups pairs envelope twins across rates, not different content; stub for junk") {
+    val junk = "not audio".getBytes("UTF-8")
+    val src = media(
+      (1L, "audio", modulatedWavBytes(3.0, 1.0, 8000f), 0, 0),        // 11
+      (2L, "audio", modulatedWavBytes(3.0, 1.0, 16000f), 0, 0),       // 21: resampled twin
+      (3L, "audio", modulatedWavBytes(7.0, 1.0, 8000f), 0, 0),        // 31: different envelope
+      (4L, "audio", junk, 0, 0),                                      // 41: stub
+      (5L, "audio", junk.clone(), 0, 0))                              // 51: stub twin
+    val pairs = MediaOps.audioNearDups(src, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((11L, 21L)), s"resampled twin must pair: $pairs")
+    assert(pairs.contains((41L, 51L)) && pairs((41L, 51L)) == 0)
+    assert(!pairs.keySet.exists(p => p._1 == 31L || p._2 == 31L),
+      s"different envelope must not pair: $pairs")
+    intercept[IllegalArgumentException](MediaOps.audioNearDups(src, maxHamming = 9))
+  }
+
   test("dedupImages keeps one representative per visual cluster, min media_id") {
     val junk = "junk payload not an image".getBytes("UTF-8")
     val inv = invertedImageBytes(64, 48)

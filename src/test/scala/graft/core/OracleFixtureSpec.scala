@@ -78,6 +78,6 @@ class OracleFixtureSpec extends AnyFunSuite {
     if (failures.nonEmpty) fail(s"${failures.size}+ fixture mismatches (showing up to 10):\n${failures.reverse.mkString("\n---\n")}")
     // floor = the committed corpus size: a stale or truncated resource
     // would otherwise pass this suite trivially
-    assert(n >= 8026, s"fixture corpus shrank: consumed only $n rows")
+    assert(n >= 8304, s"fixture corpus shrank: consumed only $n rows")
   }
 }

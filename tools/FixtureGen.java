@@ -142,6 +142,95 @@ public class FixtureGen {
     if (sel.isEmpty() || sel.contains("batch1")) batch1();
     if (sel.contains("batch2")) { id = 501000; batch2(); }
     if (sel.contains("batch3")) { id = 601000; batch3(); }
+    if (sel.contains("batch4")) { id = 701000; batch4(); }
+  }
+
+  static void batch4() {
+    List<String> inputs = new ArrayList<>();
+
+    // 1. locale-sensitive tag-name case: uppercase names whose lowercase
+    // differs by locale (Turkish dotted I, sharp s, accented) — the
+    // engines must agree byte-for-byte on whatever the reference does
+    String[] caseNames = {"I", "\u0130", "\u00C9", "\u00DF", "SIZE", "SiZe", "\u0130MG"};
+    for (String n : caseNames) {
+      inputs.add("[" + n + "]x[/" + n.toLowerCase() + "]");
+      inputs.add("[" + n.toLowerCase() + "]x[/" + n + "]");
+      inputs.add("[" + n + " a=1]x[/" + n + "]");
+    }
+
+    // 2. quote-dialect mixing inside attributes
+    inputs.add("[t a='single \"double\" inside']x[/t]");
+    inputs.add("[t a=\"unterminated]x[/t]");
+    inputs.add("[t a='unterminated]x[/t]");
+    inputs.add("[t a=']']x[/t]");
+    inputs.add("[t a='[']x[/t]");
+    inputs.add("[t 'q'=v]x[/t]");
+    inputs.add("[t a=\"\"]x[/t]");
+    inputs.add("[t a='']x[/t]");
+    inputs.add("[t a=\"x\" b='y' c=z]w[/t]");
+
+    // 3. long-range offset arithmetic: escapes clustered at the END of an
+    // 8k document; alternating escape/tag every few chars
+    StringBuilder longTail = new StringBuilder();
+    for (int i = 0; i < 800; i++) longTail.append("plainwordِ ");
+    for (int i = 0; i < 50; i++) longTail.append("&<>\"[b]x[/b]");
+    inputs.add(longTail.toString());
+    StringBuilder alternating = new StringBuilder();
+    for (int i = 0; i < 200; i++) alternating.append("&[b]&[/b]");
+    inputs.add(alternating.toString());
+
+    // 4. escaped brackets against closers
+    inputs.add("[b]x\\[/b]");
+    inputs.add("[b]x[/b\\]");
+    inputs.add("[b]\\[/b]x[/b]");
+    inputs.add("\\[b]x[/b]");
+    inputs.add("[b\\]x[/b]");
+
+    // 5. self-closing-style BBCode and text between list items
+    inputs.add("[br/]x");
+    inputs.add("[img/]");
+    inputs.add("[list]text[*]item[/list]");
+    inputs.add("[list] [*]a [*]b [/list]");
+    inputs.add("[list]\r\n[*]a\r\n[/list]");
+
+    // 6. one unclosed tag over a long span (demotion across 10k chars)
+    StringBuilder unclosedLong = new StringBuilder("[b]");
+    for (int i = 0; i < 1000; i++) unclosedLong.append("ten chars.");
+    inputs.add(unclosedLong.toString());
+
+    // 7. HTML attribute entities and numeric refs
+    inputs.add("<a href=\"a&amp;b\">x</a>");
+    inputs.add("<a href=a&amp;b>x</a>");
+    inputs.add("<p title=\"&#65;&#x42;\">x</p>");
+    inputs.add("<a href=\"?q=1&p=2\">x</a>");
+    inputs.add("<b>&amp;&lt;&gt;&quot;&#39;</b>");
+
+    // 8. nobr-config newline torture inside preformatted regions
+    inputs.add("[code]a\rb\nc\r\nd[/code]");
+    inputs.add("[noparse]\r\r\n\n[/noparse]");
+    inputs.add("[code]x[/code]\r[code]y[/code]");
+
+    // 9. deep attributed-quote stacks with a missing closer at each depth
+    for (int missing = 1; missing <= 6; missing++) {
+      StringBuilder q = new StringBuilder();
+      for (int d = 0; d < 6; d++) q.append("[quote=u").append(d).append("]t").append(d);
+      for (int d = 0; d < 6 - missing; d++) q.append("[/quote]");
+      inputs.add(q.toString());
+    }
+
+    // 10. new-seed soup, longer documents (80-200 tokens)
+    Random rnd = new Random(424242424242L);
+    String[] toks = {"[b]", "[/b]", "[i]", "[/i]", "[quote=a]", "[/quote]",
+      "[t a=\"v\"]", "[/t]", "\\", "\"", "'", "=", "]", "[", "&", "<", ">",
+      " ", "x", "\r\n", "[code]", "[/code]", "[*]", "[list]", "[/list]"};
+    for (int s = 0; s < 30; s++) {
+      int len = 80 + rnd.nextInt(120);
+      StringBuilder sb = new StringBuilder();
+      for (int i = 0; i < len; i++) sb.append(toks[rnd.nextInt(toks.length)]);
+      inputs.add(sb.toString());
+    }
+
+    emitMatrix(inputs);
   }
 
   static void batch3() {

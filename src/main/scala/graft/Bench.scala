@@ -67,7 +67,7 @@ object Bench {
     // same +30% margin discipline)
     "q_docs_bm25" -> 2.2, "q_contamination_bloom" -> 2.1,
     "x_quality_classifier" -> 1.6, "q_data_card" -> 1.0,
-    "q_media_phash" -> 1.8
+    "q_media_phash" -> 1.8, "q_url_robots" -> 1.3
   )
 
   /** A regression fires above 3× the recorded time AND above a 1.5 s

@@ -607,6 +607,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_url_robots" -> ((s, dir) => {
+      // robots.txt application (RFC 9309 subset) over synthesized crawl
+      // URLs: host = site<id%5>.com, path type = id%4. The robots bodies
+      // exercise longest-match precedence (site0: Allow /private/ok
+      // overrides Disallow /private/), agent-specific group priority
+      // (site1: the graftbot group's /tmp/ rule wins over the * group's
+      // Disallow /), empty-disallow (site2), missing robots (site3), and
+      // block-all (site4). The oracle derives every decision from doc_id
+      // arithmetic alone — an independent derivation
+      import s.implicits._
+      val id = col("doc_id")
+      val url = concat(lit("https://site"), (id % 5).cast("string"), lit(".com"),
+        when(id % 4 === 0, concat(lit("/public/"), id.cast("string")))
+          .when(id % 4 === 1, concat(lit("/private/"), id.cast("string")))
+          .when(id % 4 === 2, concat(lit("/tmp/"), id.cast("string")))
+          .otherwise(concat(lit("/private/ok/"), id.cast("string"))))
+      val robots = Seq(
+        ("site0.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok"),
+        ("site1.com", "User-agent: graftbot\nDisallow: /tmp/\n\nUser-agent: *\nDisallow: /"),
+        ("site2.com", "User-agent: *\nDisallow:"),
+        ("site4.com", "User-agent: *\nDisallow: /")).toDF("host", "robots_txt")
+      WebOps.applyRobots(
+          docs(s, dir).withColumn("url", url).select(col("doc_id"), col("url")),
+          "url", robots, agent = "graftbot")
+        .select(col("doc_id"), col("allowed"))
+        .orderBy("doc_id")
+    }),
+
     "q_url_blocklist" -> ((s, dir) => {
       // domain-blocklist filtering (the C4-style bad-domains pass) over
       // synthesized crawl URLs: host = [sub.|www.]example<id%7>.com; the
@@ -1787,6 +1815,17 @@ object SparkEntry {
         |    '/Path/', cast(doc_id AS varchar),
         |    CASE WHEN doc_id % 5 IN (0, 1) THEN '?id=' || cast(doc_id AS varchar) ELSE '' END
         |  ) AS canon_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every robots decision derives from doc_id arithmetic alone:
+    // host = id%5, path family = id%4 (see the query's comment)
+    "q_url_robots" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN doc_id % 5 = 0 AND doc_id % 4 = 1 THEN false
+        |    WHEN doc_id % 5 = 1 AND doc_id % 4 = 2 THEN false
+        |    WHEN doc_id % 5 = 4 THEN false
+        |    ELSE true END AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_url_blocklist" ->

@@ -110,4 +110,161 @@ object WebOps {
       df.join(blockedUrls, df(urlCol) === blockedUrls(urlCol), "left_anti")
     }
   }
+
+  // ======== robots.txt (RFC 9309 subset) ========
+
+  /** One parsed robots rule: `allow` + the path pattern (`*` wildcards,
+    * optional `$` end anchor, otherwise prefix semantics).
+    */
+  final case class RobotsRule(allow: Boolean, pattern: String)
+
+  /** Parse a robots.txt body and return the rules governing `agent`
+    * (RFC 9309 group semantics, the subset real crawl pipelines apply):
+    * `#` comments stripped; keys case-insensitive; consecutive
+    * `User-agent:` lines open ONE group; a `User-agent:` after rule lines
+    * starts a new group; the governing token is the LONGEST group token
+    * that prefixes the (lowercased) agent, falling back to `*`; rules
+    * from EVERY group carrying the winning token merge (the RFC's
+    * combine-same-token rule); empty-value rules (`Disallow:`) restrict
+    * nothing and are dropped. Unknown keys (Crawl-delay, Sitemap) are
+    * ignored. A null/empty body, or no matching group, yields no rules —
+    * everything allowed.
+    */
+  def parseRobots(txt: String, agent: String): Array[RobotsRule] = {
+    if (txt == null || txt.isEmpty) return Array.empty
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // (agent tokens, rules) per group
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], scala.collection.mutable.ArrayBuffer[RobotsRule])]
+    var inHeader = false
+    txt.split("\n", -1).foreach { raw =>
+      val noComment = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }
+      val line = noComment.replace("\r", "").trim
+      val colonAt = line.indexOf(':')
+      if (colonAt > 0) {
+        val key = line.substring(0, colonAt).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colonAt + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inHeader || groups.isEmpty) {
+              groups += ((scala.collection.mutable.ArrayBuffer.empty[String],
+                scala.collection.mutable.ArrayBuffer.empty[RobotsRule]))
+              inHeader = true
+            }
+            groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" =>
+            inHeader = false
+            if (groups.nonEmpty && value.nonEmpty)
+              groups.last._2 += RobotsRule(key == "allow", value)
+          case _ => inHeader = false // Crawl-delay, Sitemap, unknown keys
+        }
+      }
+    }
+    val tokens = groups.flatMap(_._1).distinct
+    val winner = tokens
+      .filter(t => t != "*" && agentLc.startsWith(t))
+      .sortBy(-_.length)
+      .headOption
+      .orElse(if (tokens.contains("*")) Some("*") else None)
+    winner match {
+      case None => Array.empty
+      case Some(t) => groups.filter(_._1.contains(t)).flatMap(_._2).toArray
+    }
+  }
+
+  /** Does a robots `pattern` match `path`? Prefix semantics with `*`
+    * wildcards and an optional trailing `$` end anchor (RFC 9309
+    * matching). Iterative star-backtracking, no regex compilation in the
+    * per-URL hot path.
+    */
+  private[ops] def robotsMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.last == '$'
+    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    var pi = 0; var si = 0
+    var starPi = -1; var starSi = -1
+    while (true) {
+      if (pi == p.length) {
+        if (!anchored || si == path.length) return true
+        // anchored with path left over: only a '*' can absorb it
+        if (starPi < 0) return false
+        starSi += 1
+        if (starSi > path.length) return false
+        si = starSi; pi = starPi + 1
+      } else if (p.charAt(pi) == '*') {
+        starPi = pi; starSi = si; pi += 1
+      } else if (si < path.length && p.charAt(pi) == path.charAt(si)) {
+        pi += 1; si += 1
+      } else if (starPi >= 0) {
+        starSi += 1
+        if (starSi > path.length) return false
+        si = starSi; pi = starPi + 1
+      } else return false
+    }
+    false // unreachable
+  }
+
+  /** RFC 9309 decision: the matching rule with the LONGEST pattern wins;
+    * an allow/disallow tie at the same length resolves to allow; no
+    * matching rule → allowed.
+    */
+  private[ops] def robotsAllowed(rules: Array[RobotsRule], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < rules.length) {
+      val r = rules(i)
+      if (r.pattern.length >= bestLen && robotsMatches(r.pattern, path)) {
+        if (r.pattern.length > bestLen) { bestLen = r.pattern.length; bestAllow = r.allow }
+        else if (r.allow) bestAllow = true // tie: allow wins
+      }
+      i += 1
+    }
+    bestAllow
+  }
+
+  /** Path (plus query, minus fragment) of a URL for robots matching; a
+    * URL with no path component is `/`.
+    */
+  def urlPath(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val p = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^#]*)", 1)
+    when(length(p) > 0, p).otherwise(lit("/"))
+  }
+
+  /** Apply per-host robots.txt to a URL corpus: adds an `allowed` boolean
+    * to `df`. `robots(hostCol, txtCol)` carries one robots body per host
+    * (the crawl-metadata table — per-HOST, orders of magnitude smaller
+    * than the URL corpus by nature). Hosts with no robots row are
+    * allowed, as are hostless rows (no scheme — robots has no opinion).
+    *
+    * Scale shape: robots bodies PARSE ONCE per host on the small side
+    * (one map pass compiling each body to its rule array for `agent`);
+    * the compiled side is counted and broadcast under `maxBroadcastHosts`
+    * (the guarded idiom) so the URL corpus streams map-side through one
+    * hash-join probe + an O(rules) matcher — zero corpus exchanges; above
+    * the guard the join runs un-hinted on the host key and completes.
+    * Raw robots text never joins the corpus — only (host, rules).
+    */
+  def applyRobots(df: DataFrame, urlCol: String, robots: DataFrame,
+                  agent: String, hostCol: String = "host",
+                  txtCol: String = "robots_txt",
+                  maxBroadcastHosts: Long = 10000000L): DataFrame = {
+    val ag = agent
+    val compileUdf = udf { (txt: String) =>
+      parseRobots(txt, ag).map(r => (r.allow, r.pattern))
+    }
+    val compiled = robots
+      .select(lower(trim(col(hostCol))).as("__rb_host"),
+        compileUdf(col(txtCol)).as("__rb_rules"))
+      .where(length(col("__rb_host")) > 0)
+    val nHosts = compiled.count()
+    val side = if (nHosts <= maxBroadcastHosts) broadcast(compiled) else compiled
+    val decideUdf = udf { (rules: Seq[org.apache.spark.sql.Row], path: String) =>
+      if (rules == null) true
+      else robotsAllowed(
+        rules.map(r => RobotsRule(r.getBoolean(0), r.getString(1))).toArray, path)
+    }
+    df.join(side, urlHost(col(urlCol)) === col("__rb_host"), "left")
+      .withColumn("allowed", decideUdf(col("__rb_rules"), urlPath(col(urlCol))))
+      .drop("__rb_host", "__rb_rules")
+  }
 }

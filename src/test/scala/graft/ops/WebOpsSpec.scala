@@ -140,4 +140,77 @@ class WebOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(survivors(0L) == "https://example.com/a")
   }
+
+  // ---- robots.txt ---------------------------------------------------------
+
+  test("robotsMatches: prefix, wildcard, and end-anchor semantics") {
+    val m = WebOps.robotsMatches _
+    assert(m("/a", "/abc"))              // prefix
+    assert(m("/a*c", "/abc"))
+    assert(m("/a*c", "/axxcY"))          // prefix after wildcard
+    assert(m("/*.php", "/x/y.php"))
+    assert(m("/a*c$", "/abc"))
+    assert(!m("/a*c$", "/abcd"))         // anchored mismatch
+    assert(m("/p$", "/p"))
+    assert(!m("/p$", "/pq"))
+    assert(!m("/b", "/abc"))
+    assert(m("/*$", "/anything"))
+    assert(m("/a**b", "/a-x-b"))         // consecutive stars
+    assert(!m("/priv", "/pub/priv"))     // prefix means FROM THE START
+  }
+
+  test("parseRobots: groups, comments, CRLF, case, longest agent token, same-token merge") {
+    val txt = "# policy\r\nUser-Agent: graft\r\nDisallow: /a # inline\r\n" +
+      "User-agent: *\nDisallow: /b\n" +
+      "Crawl-delay: 10\n" +
+      "USER-AGENT: graft\nAllow: /a/ok\n" +
+      "User-agent: g\nDisallow: /c\n" +
+      "Disallow:\n" // empty value: restricts nothing
+    val rules = WebOps.parseRobots(txt, "GraftBot/1.0")
+    // winning token: "graft" (longest prefix of "graftbot/1.0"; beats "g"
+    // and the * fallback); BOTH graft groups merge
+    assert(rules.toSet == Set(
+      WebOps.RobotsRule(false, "/a"), WebOps.RobotsRule(true, "/a/ok")),
+      rules.mkString(","))
+    // unknown agent falls back to the * group
+    assert(WebOps.parseRobots(txt, "otherbot").toSet ==
+      Set(WebOps.RobotsRule(false, "/b")))
+    // no matching group at all -> no rules
+    assert(WebOps.parseRobots("User-agent: x\nDisallow: /", "y").isEmpty)
+    assert(WebOps.parseRobots(null, "y").isEmpty)
+  }
+
+  test("robotsAllowed: longest match wins, allow wins ties, no match allows") {
+    val rules = Array(
+      WebOps.RobotsRule(false, "/private/"),
+      WebOps.RobotsRule(true, "/private/ok"))
+    assert(!WebOps.robotsAllowed(rules, "/private/x"))
+    assert(WebOps.robotsAllowed(rules, "/private/ok/y"), "longer allow wins")
+    assert(WebOps.robotsAllowed(rules, "/public"))
+    val tie = Array(WebOps.RobotsRule(false, "/p/"), WebOps.RobotsRule(true, "/p/"))
+    assert(WebOps.robotsAllowed(tie, "/p/x"), "same-length tie resolves to allow")
+    assert(WebOps.robotsAllowed(Array.empty, "/anything"))
+  }
+
+  test("applyRobots: per-host decisions, missing robots and hostless rows allowed; robots side broadcasts") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (0L, "https://a.com/private/x"),   // a.com disallows /private/ -> false
+      (1L, "https://a.com/pub"),         // -> true
+      (2L, "https://b.com/anything"),    // b.com blocks all -> false
+      (3L, "https://c.com/x"),           // no robots row -> true
+      (4L, "not a url at all"),          // hostless -> true
+      (5L, "https://A.com/private/y"))   // host case-insensitive -> false
+      .toDF("doc_id", "url")
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /private/"),
+      ("b.com", "User-agent: *\nDisallow: /")).toDF("host", "robots_txt")
+    val out = WebOps.applyRobots(corpus, "url", robots, agent = "graftbot")
+    val got = out.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(0L -> false, 1L -> true, 2L -> false, 3L -> true,
+      4L -> true, 5L -> false), got.toString)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"robots side must broadcast against the URL stream:\n$plan")
+  }
 }

@@ -150,7 +150,10 @@ object WebOps {
                 scala.collection.mutable.ArrayBuffer.empty[RobotsRule]))
               inHeader = true
             }
-            groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+            // a malformed empty value would prefix-match EVERY agent and
+            // preempt the '*' group — drop it like empty rule values
+            if (value.nonEmpty)
+              groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
           case "allow" | "disallow" =>
             inHeader = false
             if (groups.nonEmpty && value.nonEmpty)
@@ -226,8 +229,14 @@ object WebOps {
     */
   def urlPath(c: Column): Column = {
     val noFrag = regexp_replace(c, "#.*$", "")
-    val p = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^#]*)", 1)
-    when(length(p) > 0, p).otherwise(lit("/"))
+    // capture from the first '/' OR '?' after the authority: a URL with a
+    // query but no path ("https://a.com?sort=x") match-targets "/?sort=x"
+    // per RFC 9309 (path with query appended), not a bare "/"
+    val rest = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/?][^#]*)", 1)
+    when(length(rest) === 0, lit("/"))
+      .when(rest.startsWith("?"), concat(lit("/"), rest))
+      .otherwise(rest)
   }
 
   /** Apply per-host robots.txt to a URL corpus: adds an `allowed` boolean
@@ -252,10 +261,22 @@ object WebOps {
     val compileUdf = udf { (txt: String) =>
       parseRobots(txt, ag).map(r => (r.allow, r.pattern))
     }
+    // host key normalized EXACTLY like urlHost normalizes the URL side
+    // (lowercase, trailing FQDN dot, leading www.) — a robots row keyed by
+    // the fetched "www.a.com" form must meet "https://www.a.com/..."
+    val normHost = regexp_replace(
+      regexp_replace(lower(trim(col(hostCol))), "\\.$", ""), "^www\\.", "")
     val compiled = robots
-      .select(lower(trim(col(hostCol))).as("__rb_host"),
-        compileUdf(col(txtCol)).as("__rb_rules"))
+      .select(normHost.as("__rb_host"), col(txtCol).as("__rb_txt"))
       .where(length(col("__rb_host")) > 0)
+      // one body per host, deterministically (re-crawled metadata can
+      // carry duplicates; an un-deduped left join would multiply corpus
+      // rows): the lexicographically-least body wins
+      .groupBy("__rb_host").agg(min(col("__rb_txt")).as("__rb_txt"))
+      .select(col("__rb_host"), compileUdf(col("__rb_txt")).as("__rb_rules"))
+      // parse once: the guard count and the join read the same cached
+      // blocks (ContextCleaner releases the cache when the frame is GC'd)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nHosts = compiled.count()
     val side = if (nHosts <= maxBroadcastHosts) broadcast(compiled) else compiled
     val decideUdf = udf { (rules: Seq[org.apache.spark.sql.Row], path: String) =>

@@ -213,4 +213,34 @@ class WebOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"),
       s"robots side must broadcast against the URL stream:\n$plan")
   }
+
+  test("applyRobots: fetched-form host keys (www./dot/case) match; duplicate hosts dedupe") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (0L, "https://www.a.com/private/x"),  // robots keyed "www.a.com" must apply
+      (1L, "https://a.com/private/y"),      // bare form hits the same normalized row
+      (2L, "https://b.com/x"))
+      .toDF("doc_id", "url")
+    val robots = Seq(
+      ("www.a.com", "User-agent: *\nDisallow: /private/"),
+      ("B.com.", "User-agent: *\nDisallow: /"),  // case + trailing FQDN dot
+      ("B.com.", "User-agent: *\nDisallow: /"))  // duplicate row: must not multiply
+      .toDF("host", "robots_txt")
+    val out = WebOps.applyRobots(corpus, "url", robots, agent = "bot").collect()
+    assert(out.length == 3, s"duplicate robots rows must not multiply corpus rows: ${out.length}")
+    val got = out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(0L -> false, 1L -> false, 2L -> false), got.toString)
+  }
+
+  test("urlPath keeps the query when there is no path; empty user-agent cannot hijack") {
+    val s = spark; import s.implicits._
+    val paths = Seq("https://a.com?sort=x", "https://a.com/?sort=x",
+      "https://a.com", "https://a.com/p?q=1#frag")
+      .toDF("url").select(WebOps.urlPath(col("url"))).collect().map(_.getString(0))
+    assert(paths.toSeq == Seq("/?sort=x", "/?sort=x", "/", "/p?q=1"), paths.mkString(","))
+    // a malformed empty "User-agent:" line must not preempt the * group
+    val rules = WebOps.parseRobots(
+      "User-agent:\nDisallow: /secret/\n\nUser-agent: *\nDisallow: /", "anybot")
+    assert(rules.toSet == Set(WebOps.RobotsRule(false, "/")), rules.mkString(","))
+  }
 }

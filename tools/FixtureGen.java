@@ -153,8 +153,8 @@ public class FixtureGen {
     // engines must agree byte-for-byte on whatever the reference does
     String[] caseNames = {"I", "\u0130", "\u00C9", "\u00DF", "SIZE", "SiZe", "\u0130MG"};
     for (String n : caseNames) {
-      inputs.add("[" + n + "]x[/" + n.toLowerCase() + "]");
-      inputs.add("[" + n.toLowerCase() + "]x[/" + n + "]");
+      inputs.add("[" + n + "]x[/" + n.toLowerCase(Locale.ROOT) + "]");
+      inputs.add("[" + n.toLowerCase(Locale.ROOT) + "]x[/" + n + "]");
       inputs.add("[" + n + " a=1]x[/" + n + "]");
     }
 

@@ -243,4 +243,33 @@ class WebOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "User-agent:\nDisallow: /secret/\n\nUser-agent: *\nDisallow: /", "anybot")
     assert(rules.toSet == Set(WebOps.RobotsRule(false, "/")), rules.mkString(","))
   }
+
+  test("robotsMatches property: agrees with a regex reference on 5000 random pattern/path pairs") {
+    // reference semantics: '*' -> '.*', everything else literal; prefix
+    // match unless '$'-anchored (then whole-path match)
+    def ref(pattern: String, path: String): Boolean = {
+      val anchored = pattern.nonEmpty && pattern.last == '$'
+      val p = if (anchored) pattern.dropRight(1) else pattern
+      val rx = p.map {
+        case '*' => ".*"
+        case c => java.util.regex.Pattern.quote(c.toString)
+      }.mkString
+      val compiled = java.util.regex.Pattern.compile("^" + rx + (if (anchored) "$" else ""))
+      if (anchored) compiled.matcher(path).matches()
+      else compiled.matcher(path).find()
+    }
+    val rnd = new scala.util.Random(77)
+    val patChars = "ab/*"
+    val pathChars = "ab/"
+    var checked = 0
+    while (checked < 5000) {
+      val pat = (1 to (1 + rnd.nextInt(7))).map(_ => patChars(rnd.nextInt(4))).mkString +
+        (if (rnd.nextBoolean()) "$" else "")
+      val path = "/" + (0 until rnd.nextInt(9)).map(_ => pathChars(rnd.nextInt(3))).mkString
+      val got = WebOps.robotsMatches(pat, path)
+      val want = ref(pat, path)
+      assert(got == want, s"pattern '$pat' path '$path': matcher=$got regex=$want")
+      checked += 1
+    }
+  }
 }

@@ -1134,6 +1134,18 @@ object DedupOps {
     * capped by `maxBucket` with the same skip-accounting warning as the
     * text paths — capped pairs may still surface via their other bands.
     *
+    * THE RADIUS/SCALE TRADEOFF (read before raising nBands): each band's
+    * bucket key has only `2^(64/nBands)` possible values, and expected
+    * bucket size is `n / 2^(64/nBands)` for n distinct signatures. At
+    * nBands = 8 that is 256 values per band — every bucket holds ~n/256
+    * rows, so beyond ~10^5 signatures EVERY bucket is hot: the guard
+    * (correctly) drops them all and the operator finds nothing, while an
+    * unguarded run is O(n²/256) — quadratic. nBands = 4 (guarantee ≤ 3,
+    * the SimHash shape) gives 65k values per band and holds to ~10^7–10^8
+    * distinct signatures; nBands = 2 (guarantee ≤ 1) holds at 10^9+. Wide
+    * radii over large corpora need a different algorithm entirely
+    * (multi-probe or BK-tree serving), not more bands here.
+    *
     * The returned frame is persisted and materialized (the pair list is
     * consumed repeatedly downstream — clustering, keeper joins); the
     * CALLER unpersists it when done, same contract as

@@ -248,13 +248,21 @@ object MediaOps {
     * phash) rows ever shuffle — payload bytes stay at the scan;
     * degenerate perceptual buckets (solid-color thumbnails, a viral meme
     * template) are capped by `maxBucket` with skip accounting.
+    *
+    * The defaults (radius 3, 4×16-bit bands) are the CORPUS-SCALE shape:
+    * 65k bucket values per band hold to ~10^7–10^8 distinct hashes. A
+    * wider radius needs nBands = 8, whose 256-value bands are only viable
+    * below ~10^5 distinct hashes — beyond that every bucket trips the
+    * guard and recall collapses (measured, see BENCH.md; the tradeoff is
+    * documented at [[graft.ops.DedupOps.hammingNearDups]]).
     */
-  def imageNearDups(media: Dataset[MediaFile], maxHamming: Int = 6,
-                    maxBucket: Int = Int.MaxValue, nBands: Int = 8): DataFrame = {
+  def imageNearDups(media: Dataset[MediaFile], maxHamming: Int = 3,
+                    maxBucket: Int = Int.MaxValue, nBands: Int = 4): DataFrame = {
     require(maxHamming < nBands,
       s"maxHamming $maxHamming >= nBands $nBands would lose the pigeonhole " +
         "recall guarantee (a pair can differ in every band and never " +
-        "candidate) — raise nBands (must divide 64)")
+        "candidate) — raise nBands (must divide 64; mind the bucket-" +
+        "cardinality tradeoff documented on hammingNearDups)")
     DedupOps.hammingNearDups(imageDHash(media), "media_id", "phash",
       maxHamming, nBands = nBands, maxBucket = maxBucket)
   }
@@ -310,11 +318,12 @@ object MediaOps {
     * as [[imageNearDups]], over the envelope fingerprints. The returned
     * frame is persisted — caller unpersists when done.
     */
-  def audioNearDups(media: Dataset[MediaFile], maxHamming: Int = 6,
-                    maxBucket: Int = Int.MaxValue, nBands: Int = 8): DataFrame = {
+  def audioNearDups(media: Dataset[MediaFile], maxHamming: Int = 3,
+                    maxBucket: Int = Int.MaxValue, nBands: Int = 4): DataFrame = {
     require(maxHamming < nBands,
       s"maxHamming $maxHamming >= nBands $nBands would lose the pigeonhole " +
-        "recall guarantee — raise nBands (must divide 64)")
+        "recall guarantee — raise nBands (must divide 64; mind the bucket-" +
+        "cardinality tradeoff documented on hammingNearDups)")
     DedupOps.hammingNearDups(audioFingerprints(media), "media_id", "afp",
       maxHamming, nBands = nBands, maxBucket = maxBucket)
   }
@@ -328,8 +337,8 @@ object MediaOps {
     * media_id — payload bytes never cross an exchange anywhere in the
     * composition.
     */
-  def dedupImages(media: Dataset[MediaFile], maxHamming: Int = 6,
-                  maxBucket: Int = Int.MaxValue, nBands: Int = 8,
+  def dedupImages(media: Dataset[MediaFile], maxHamming: Int = 3,
+                  maxBucket: Int = Int.MaxValue, nBands: Int = 4,
                   maxIter: Int = 20): Dataset[MediaFile] = {
     val pairs = imageNearDups(media, maxHamming, maxBucket, nBands)
     try {

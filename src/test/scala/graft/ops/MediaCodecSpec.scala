@@ -236,7 +236,7 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     // image mislabeled "video" still decodes and hashes identically
     assert(hashes(61L)._2 && hashes(61L)._1 == hashes(11L)._1,
       "mislabeled image must hash via the codec path")
-    val pairs = MediaOps.imageNearDups(src, maxHamming = 6).collect()
+    val pairs = MediaOps.imageNearDups(src, maxHamming = 6, nBands = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs.contains((11L, 21L)), s"resized twin must pair: $pairs")
     assert(pairs.contains((41L, 51L)) && pairs((41L, 51L)) == 0)
@@ -295,7 +295,7 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "audio", modulatedWavBytes(7.0, 1.0, 8000f), 0, 0),        // 31: different envelope
       (4L, "audio", junk, 0, 0),                                      // 41: stub
       (5L, "audio", junk.clone(), 0, 0))                              // 51: stub twin
-    val pairs = MediaOps.audioNearDups(src, maxHamming = 6).collect()
+    val pairs = MediaOps.audioNearDups(src, maxHamming = 6, nBands = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs.contains((11L, 21L)), s"resampled twin must pair: $pairs")
     assert(pairs.contains((41L, 51L)) && pairs((41L, 51L)) == 0)
@@ -314,7 +314,7 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "image", inv, 64, 48),                             // 41: distinct, survives
       (5L, "image", junk, 0, 0),                              // 51: stub cluster keeper
       (6L, "image", junk.clone(), 0, 0))                      // 61: stub twin, drops
-    val survivors = MediaOps.dedupImages(src, maxHamming = 6)
+    val survivors = MediaOps.dedupImages(src, maxHamming = 6, nBands = 8)
       .collect().map(_.media_id).toSet
     assert(survivors == Set(11L, 41L, 51L), s"got $survivors")
   }

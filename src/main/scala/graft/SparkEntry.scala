@@ -27,8 +27,34 @@ object SparkEntry {
       .orderBy("conv_id", "turn_idx")
   }
 
-  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  /** Scale-adaptive scan fan-out (guide §2/§6): when a parquet scan yields
+    * fewer splits than the session's parallelism — the local test SFs are
+    * one row group per table, so every scan is otherwise a SINGLE task and
+    * all per-row compute (tokenize, shingle, signature, parse, regex) runs
+    * on one core — round-robin repartition to `defaultParallelism`. At
+    * production scale a corpus scan has orders of magnitude more splits
+    * than cores, the guard is false, and NO shuffle is added — the
+    * operators' text-never-crosses-an-exchange shape is preserved exactly
+    * where it matters. Parameterised by the session's own core count, never
+    * a constant.
+    *
+    * Determinism: round-robin repartition is content-independent and every
+    * declared query's output is an orderBy over unique keys with exact
+    * (integer / decimal-rounded / order-independent) aggregates, so results
+    * are identical under any partitioning. The one layout-sensitive path in
+    * the codebase (SimOps float centroid refinement) reads `emb`, which is
+    * deliberately NOT widened.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  private def docs(s: SparkSession, dir: String) =
+    widen(s.read.parquet(s"$dir/documents.parquet"))
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+  private def tbl(s: SparkSession, dir: String, name: String) =
+    widen(s.read.parquet(s"$dir/$name.parquet"))
 
   /** Deterministic BBCode transcript table constructed from `documents`:
     * five markup shapes (well-formed, list items, malformed/unclosed,
@@ -123,7 +149,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational pipeline ops -----------------------------------------
     "q_agg_pricing" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
+      tbl(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_quantity")).as("sum_qty"),
@@ -132,8 +158,8 @@ object SparkEntry {
     }),
 
     "q_join_segment_sales" -> ((s, dir) => {
-      val orders = s.read.parquet(s"$dir/orders.parquet")
-      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = tbl(s, dir, "orders")
+      val customer = tbl(s, dir, "customer")
       orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
@@ -141,7 +167,7 @@ object SparkEntry {
     }),
 
     "q_window_top_event" -> ((s, dir) => {
-      val events = s.read.parquet(s"$dir/events.parquet")
+      val events = tbl(s, dir, "events")
       events.withColumn("rn", row_number().over(
           Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))))
         .filter(col("rn") === 1)
@@ -155,37 +181,37 @@ object SparkEntry {
     }),
 
     "q_rollup_orders" -> ((s, dir) => {
-      s.read.parquet(s"$dir/orders.parquet")
+      tbl(s, dir, "orders")
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("total_price"))
         .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
     }),
 
     "q_set_customers" -> ((s, dir) => {
-      val customer = s.read.parquet(s"$dir/customer.parquet")
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = tbl(s, dir, "customer")
+      val orders = tbl(s, dir, "orders")
       customer.filter(col("c_acctbal") > 5000).select("c_custkey")
         .intersect(orders.select(col("o_custkey").as("c_custkey")))
         .orderBy("c_custkey")
     }),
 
     "q_events_daily" -> ((s, dir) => {
-      s.read.parquet(s"$dir/events.parquet")
+      tbl(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("day", "event_type")
     }),
 
     "q_cube_orders" -> ((s, dir) => {
-      s.read.parquet(s"$dir/orders.parquet")
+      tbl(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("total_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     }),
 
     "q_semi_join" -> ((s, dir) => {
-      val customer = s.read.parquet(s"$dir/customer.parquet")
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = tbl(s, dir, "customer")
+      val orders = tbl(s, dir, "orders")
       customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
@@ -204,6 +230,10 @@ object SparkEntry {
 
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+      // NOT widened: (l_orderkey, l_linenumber) is not unique in the
+      // generated lineitem, so the window's within-ties order — and hence
+      // lag/lead/running values — is only deterministic under the scan's
+      // file order. Everything else in this query is cheap.
       s.read.parquet(s"$dir/lineitem.parquet")
         .filter(col("l_orderkey") % 100 === 0)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -215,7 +245,7 @@ object SparkEntry {
     }),
 
     "q_dates" -> ((s, dir) => {
-      s.read.parquet(s"$dir/orders.parquet")
+      tbl(s, dir, "orders")
         .filter(col("o_orderkey") % 100 === 0)
         .select(col("o_orderkey"),
           year(col("o_orderdate")).cast("long").as("y"),
@@ -233,7 +263,7 @@ object SparkEntry {
       // is inherently order-dependent within a user, and per-user state is
       // bounded; heavy users are a data property, not a plan defect
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      s.read.parquet(s"$dir/events.parquet")
+      tbl(s, dir, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_s",
           when(col("prev_ts").isNull ||
@@ -248,7 +278,7 @@ object SparkEntry {
     }),
 
     "q_json_events" -> ((s, dir) => {
-      s.read.parquet(s"$dir/events.parquet")
+      tbl(s, dir, "events")
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")
@@ -392,10 +422,10 @@ object SparkEntry {
       // checkpoint (the page_view marker stream, deduped to unique
       // (user_id, ts)) at-or-before its own timestamp — union+window
       // forward fill, ONE shuffle on the key, no range-join explosion
-      val events = s.read.parquet(s"$dir/events.parquet")
+      val events = tbl(s, dir, "events")
         .filter(col("event_id") % 10 === 0)
         .select("event_id", "user_id", "ts", "event_type")
-      val checkpoints = s.read.parquet(s"$dir/events.parquet")
+      val checkpoints = tbl(s, dir, "events")
         .filter(col("event_type") === "view")
         .groupBy("user_id", "ts").agg(max(col("value")).as("cp_value"))
       JoinOps.asofJoin(events, checkpoints, "user_id", "ts", Seq("cp_value"))
@@ -502,17 +532,26 @@ object SparkEntry {
       // corpus, q_contamination at k=5 vs the doc_id%5==0 bench slice),
       // so the composition is their SQL conjunction
       val d = docs(s, dir)
+      // The keep predicate is ONE self-contained bindOnce tree: the
+      // withColumn+filter form evaluates the tokenizer/shingle pipeline
+      // once per FLAG after filter pushdown substitutes each flag's full
+      // lineage into the predicate (higher-order expressions are
+      // interpreted — no codegen CSE rescues the duplication; measured
+      // ~6.7 s -> ~0.6 s for this stage at sf0.1). Lambda-bound values
+      // evaluate once per row regardless of how often the body reads them.
+      // Boolean logic is IDENTICAL to q_docs_filter_flags' keep.
+      val keepExpr = TextOps.bindOnce(TextOps.tokens(lower(col("text")))) { ltoks =>
+        TextOps.bindOnce(TextOps.shinglesOf(ltoks, 2)) { sh2 =>
+          val nTok = size(ltoks)
+          val nBi = size(sh2)
+          val nDbi = size(array_distinct(sh2))
+          !(nTok < 24) && !(TextOps.stopwordCountOf(ltoks) * 20 < nTok) &&
+            !(TextOps.punctCount(col("text")) * 5 > length(col("text"))) &&
+            !((nBi - nDbi) * 4 > nBi)
+        }
+      }
       val kept = d
-        .withColumn("ltoks", TextOps.tokens(lower(col("text"))))
-        .withColumn("sh2", TextOps.shinglesOf(col("ltoks"), 2))
-        .withColumn("n_tok", size(col("ltoks")))
-        .withColumn("n_stop", TextOps.stopwordCountOf(col("ltoks")))
-        .withColumn("n_punct", TextOps.punctCount(col("text")))
-        .withColumn("n_bi", size(col("sh2")))
-        .withColumn("n_dbi", size(array_distinct(col("sh2"))))
-        .filter(!(col("n_tok") < 24) && !(col("n_stop") * 20 < col("n_tok")) &&
-          !(col("n_punct") * 5 > length(col("text"))) &&
-          !((col("n_bi") - col("n_dbi")) * 4 > col("n_bi")))
+        .filter(keepExpr)
         .select("doc_id", "text")
         // materialize the filtered corpus ONCE: dedupCorpus + contamination
         // consume their input ~6 times, and without truncation each scan
@@ -963,7 +1002,7 @@ object SparkEntry {
     }),
 
     "q_filter_dates" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
+      tbl(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1994-01-01") && col("l_shipdate") < lit("1995-01-01"))
         .groupBy(month(col("l_shipdate")).cast("long").as("ship_month"))
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
@@ -971,7 +1010,7 @@ object SparkEntry {
     }),
 
     "q_having_custs" -> ((s, dir) => {
-      s.read.parquet(s"$dir/orders.parquet")
+      tbl(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 15)
@@ -979,8 +1018,8 @@ object SparkEntry {
     }),
 
     "q_anti_join" -> ((s, dir) => {
-      val customer = s.read.parquet(s"$dir/customer.parquet")
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = tbl(s, dir, "customer")
+      val orders = tbl(s, dir, "orders")
       customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")

@@ -306,11 +306,15 @@ object DedupOps {
 
     val banded = repAgg.select(col("rep").as("id"),
       posexplode(col("bh")).as(Seq("band", "bucket")))
-    // Materialized exactly once (single execution of the guard predicate);
-    // reused by the verify join AND the candidate-id broadcast below.
+    // Persisted: reused by the verify join AND the candidate-id broadcast
+    // below. The eager count() barrier runs only when the bucket guard is
+    // active (its accumulator-fed predicate should execute exactly once);
+    // un-guarded runs let the first consumer (the verify stage's
+    // candidate-id broadcast) materialize the cache — one fewer action on
+    // the default path, identical pair output.
     val candidates = bucketJoin(banded, maxBucket, Some(skipped))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    candidates.count()
+    if (maxBucket != Int.MaxValue) candidates.count()
 
     // Exact verification: fetch shingle sets for candidate reps only.
     val candIds = candidates.select(col("id_a").as("__cid"))
@@ -425,6 +429,7 @@ object DedupOps {
 
   def connectedComponentsStatus(pairs: DataFrame, maxIter: Int = 20,
                                 checkpointDir: Option[String] = None): CcResult = {
+    require(maxIter >= 1, s"connectedComponents needs maxIter >= 1, got $maxIter")
     val spark = pairs.sparkSession
     // Lineage truncation per round is mandatory (see below); the flavor is
     // a deployment choice: `localCheckpoint` (executor-local blocks, freed
@@ -522,22 +527,35 @@ object DedupOps {
       // analysis/optimization time grows exponentially — the classic
       // iterative-DataFrame trap (measured 41 s for a 500-vertex graph with
       // persist() alone; ~2 s with checkpointing).
-      var labels = truncate(edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
+      //
+      // Round 1 is FUSED with initialization: with labels(id) = id, the
+      // first round's neighbor-min join degenerates to min(dst) per src, so
+      // one hash-aggregate over the edge list replaces the old
+      // distinct-vertices checkpoint PLUS the first join round — one
+      // exchange instead of four, two fewer actions. Each round also
+      // carries its own `chg` flag (did this vertex's label shrink?), so
+      // the convergence count is a filter over the just-checkpointed frame
+      // instead of a join back against the previous round (two more
+      // exchanges saved per round). Label states per round are IDENTICAL
+      // to the unfused loop; `iterations` counts the fused round as 1.
+      var labels = truncate(edges.groupBy("src").agg(min(col("dst")).as("nmin"))
+        .select(col("src").as("id"),
+          least(col("src"), col("nmin")).as("label"),
+          (col("nmin") < col("src")).as("chg")))
 
-      var changed = 1L
-      var iter = 0
+      var changed = labels.filter(col("chg")).count()
+      var iter = 1
       while (changed > 0 && iter < maxIter) {
         val neighborMin = edges
           .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
           .groupBy("src").agg(min(col("nlabel")).as("nmin"))
         val updated = truncate(labels
+          .select(col("id"), col("label"))
           .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
-        changed = updated
-          .join(labels.select(col("id"), col("label").as("old")), "id")
-          .filter(col("label") =!= col("old")).count()
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+            (coalesce(col("nmin"), col("label")) < col("label")).as("chg")))
+        changed = updated.filter(col("chg")).count()
         labels = updated
         cleanupSuperseded() // previous round's reliable checkpoint, if any
         iter += 1
@@ -548,7 +566,7 @@ object DedupOps {
             "changing — result is a valid refinement, not the full component labeling " +
             "(graph diameter exceeds the round cap)")
       ok = true
-      CcResult(labels.withColumnRenamed("label", "cluster"), changed == 0, iter, ccPath)
+      CcResult(labels.select(col("id"), col("label").as("cluster")), changed == 0, iter, ccPath)
     } finally {
       // release the edge cache on EVERY exit path (a mid-loop failure must
       // not pin 2|pairs| rows in executor storage for the session)

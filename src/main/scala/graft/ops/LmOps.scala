@@ -83,21 +83,49 @@ object LmOps {
       : (DataFrame, DataFrame, Long) = {
     require(n >= 2, s"ngramLm needs order >= 2, got $n")
     val toks = ref.select(TextOps.tokens(lower(col(textCol))).as("ts"))
-    val ng = toks.select(explode(ngramsOf(col("ts"), n)).as("g"))
-      .groupBy(col("g.ctx").as("ctx"), col("g.w").as("w"))
+    // ONE corpus pass builds the whole model: each document explodes into
+    // tagged elements — kind 0 = (n-1)-gram context occurrences, kind 1 =
+    // n-gram occurrences, kind 2 = token occurrences (emitted only when
+    // n > 2; at n = 2 the contexts ARE the unigrams) — and a single
+    // hash-aggregate over (kind, ctx, w) counts them all. The previous
+    // shape ran two (n = 2) or three (n > 2) separate tokenize+explode
+    // passes over the reference with a checkpoint each; this is one pass,
+    // one exchange (map-side partial agg collapses counts before it), one
+    // checkpointed model table. ng/ctx/V are filters/counts over that
+    // table, so the returned frames and vocab size are value-identical.
+    val model = toks.select(explode(taggedModelElems(col("ts"), n)).as("e"))
+      .groupBy(col("e.kind").as("kind"), col("e.ctx").as("ctx"), col("e.w").as("w"))
       .agg(count(lit(1)).as("cn"))
       .localCheckpoint(true)
-    val ctx = toks.select(explode(contextsOf(col("ts"), n)).as("ctx"))
-      .groupBy("ctx").agg(count(lit(1)).as("cc"))
-      .localCheckpoint(true)
-    // at n=2 the contexts ARE the unigrams, so V is a count of the
-    // already-checkpointed model table — no third reference pass; higher
-    // orders genuinely need the distinct-token scan
-    val v =
-      if (n == 2) ctx.count()
-      else toks.select(explode(col("ts")).as("w")).distinct().count()
+    val ng = model.filter(col("kind") === 1).select(col("ctx"), col("w"), col("cn"))
+    val ctx = model.filter(col("kind") === 0).select(col("ctx"), col("cn").as("cc"))
+    val v = model.filter(col("kind") === (if (n == 2) 0 else 2)).count()
     (ng, ctx, v)
   }
+
+  /** Tagged model elements for [[ngramLm]]'s single-pass build (see the
+    * kind encoding there). Context positions follow [[contextsOf]]'s
+    * convention (ALL (n-1)-gram occurrences, including the text-final
+    * one); n-gram positions follow [[ngramsOf]]'s.
+    */
+  private def taggedModelElems(toksExpr: Column, n: Int): Column =
+    TextOps.bindOnce(toksExpr) { toks =>
+      val empty = array().cast("array<struct<kind:int,ctx:string,w:string>>")
+      val nullW = lit(null).cast("string")
+      val ctxPart = when(size(toks) < n - 1, empty)
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 2)),
+          i => struct(lit(0).as("kind"),
+            concat_ws(" ", slice(toks, i, lit(n - 1))).as("ctx"),
+            nullW.as("w"))))
+      val ngPart = when(size(toks) < n, empty)
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => struct(lit(1).as("kind"),
+            concat_ws(" ", slice(toks, i, lit(n - 1))).as("ctx"),
+            element_at(toks, i + (n - 1)).as("w"))))
+      if (n == 2) concat(ctxPart, ngPart)
+      else concat(ctxPart, ngPart,
+        transform(toks, t => struct(lit(2).as("kind"), t.as("ctx"), nullW.as("w"))))
+    }
 
   /** (ctx, w) structs for order-n scoring: ctx = tokens i..i+n-2 joined
     * with a space, w = token i+n-1; < n tokens → empty. The token array

@@ -38,23 +38,31 @@ object SparkEntry {
     * where it matters. Parameterised by the session's own core count, never
     * a constant.
     *
+    * Applied SELECTIVELY (as [[docsHeavy]]) after per-query A/B
+    * measurement: the extra exchange + query stage costs a flat ~0.3 s
+    * locally, so only queries whose per-row compute dominates (regex /
+    * shingle / MinHash-signature / FSM-parse / PDF / image-hash paths) use
+    * it — measured 2-6x on those; shuffle-bound or trivial-per-row queries
+    * keep the raw scan.
+    *
     * Determinism: round-robin repartition is content-independent and every
-    * declared query's output is an orderBy over unique keys with exact
+    * widened query's output is an orderBy over unique keys with exact
     * (integer / decimal-rounded / order-independent) aggregates, so results
     * are identical under any partitioning. The one layout-sensitive path in
     * the codebase (SimOps float centroid refinement) reads `emb`, which is
-    * deliberately NOT widened.
+    * deliberately never widened; q_window_running's window ties on the
+    * non-unique (l_orderkey, l_linenumber) likewise pin its scan to file
+    * order.
     */
   private def widen(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
-  private def docs(s: SparkSession, dir: String) =
-    widen(s.read.parquet(s"$dir/documents.parquet"))
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  /** The documents scan fanned out for compute-heavy per-row work. */
+  private def docsHeavy(s: SparkSession, dir: String) = widen(docs(s, dir))
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
-  private def tbl(s: SparkSession, dir: String, name: String) =
-    widen(s.read.parquet(s"$dir/$name.parquet"))
 
   /** Deterministic BBCode transcript table constructed from `documents`:
     * five markup shapes (well-formed, list items, malformed/unclosed,
@@ -149,7 +157,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational pipeline ops -----------------------------------------
     "q_agg_pricing" -> ((s, dir) => {
-      tbl(s, dir, "lineitem")
+      s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_quantity")).as("sum_qty"),
@@ -158,8 +166,8 @@ object SparkEntry {
     }),
 
     "q_join_segment_sales" -> ((s, dir) => {
-      val orders = tbl(s, dir, "orders")
-      val customer = tbl(s, dir, "customer")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
       orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
@@ -167,7 +175,7 @@ object SparkEntry {
     }),
 
     "q_window_top_event" -> ((s, dir) => {
-      val events = tbl(s, dir, "events")
+      val events = s.read.parquet(s"$dir/events.parquet")
       events.withColumn("rn", row_number().over(
           Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))))
         .filter(col("rn") === 1)
@@ -181,37 +189,37 @@ object SparkEntry {
     }),
 
     "q_rollup_orders" -> ((s, dir) => {
-      tbl(s, dir, "orders")
+      s.read.parquet(s"$dir/orders.parquet")
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("total_price"))
         .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
     }),
 
     "q_set_customers" -> ((s, dir) => {
-      val customer = tbl(s, dir, "customer")
-      val orders = tbl(s, dir, "orders")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
       customer.filter(col("c_acctbal") > 5000).select("c_custkey")
         .intersect(orders.select(col("o_custkey").as("c_custkey")))
         .orderBy("c_custkey")
     }),
 
     "q_events_daily" -> ((s, dir) => {
-      tbl(s, dir, "events")
+      s.read.parquet(s"$dir/events.parquet")
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("day", "event_type")
     }),
 
     "q_cube_orders" -> ((s, dir) => {
-      tbl(s, dir, "orders")
+      s.read.parquet(s"$dir/orders.parquet")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("total_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     }),
 
     "q_semi_join" -> ((s, dir) => {
-      val customer = tbl(s, dir, "customer")
-      val orders = tbl(s, dir, "orders")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
       customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
@@ -245,7 +253,7 @@ object SparkEntry {
     }),
 
     "q_dates" -> ((s, dir) => {
-      tbl(s, dir, "orders")
+      s.read.parquet(s"$dir/orders.parquet")
         .filter(col("o_orderkey") % 100 === 0)
         .select(col("o_orderkey"),
           year(col("o_orderdate")).cast("long").as("y"),
@@ -263,7 +271,7 @@ object SparkEntry {
       // is inherently order-dependent within a user, and per-user state is
       // bounded; heavy users are a data property, not a plan defect
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      tbl(s, dir, "events")
+      s.read.parquet(s"$dir/events.parquet")
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_s",
           when(col("prev_ts").isNull ||
@@ -278,7 +286,7 @@ object SparkEntry {
     }),
 
     "q_json_events" -> ((s, dir) => {
-      tbl(s, dir, "events")
+      s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")
@@ -286,14 +294,14 @@ object SparkEntry {
 
     // ---- text analysis ----------------------------------------------------
     "q_docs_tokens" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
+      docsHeavy(s, dir).select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
           TextOps.distinctTokenCount(col("text")).cast("long").as("n_distinct_tokens"))
         .orderBy("doc_id")
     }),
 
     "q_docs_quality" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
+      docsHeavy(s, dir).select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
           TextOps.punctCount(col("text")).cast("long").as("n_punct"),
           TextOps.digitCount(col("text")).cast("long").as("n_digits"),
@@ -303,14 +311,14 @@ object SparkEntry {
     }),
 
     "q_docs_quality_score" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      docsHeavy(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
 
     "q_docs_langid" -> ((s, dir) => {
       // token array materialized once; langIdOf/stopwordCountOf run over
       // the bound column (the splice-per-consumer variant re-tokenizes)
-      docs(s, dir)
+      docsHeavy(s, dir)
         .withColumn("ltoks", TextOps.tokens(lower(col("text"))))
         .select(col("doc_id"),
           TextOps.langIdOf(col("ltoks")).as("lang_guess"),
@@ -368,7 +376,7 @@ object SparkEntry {
       val sh2 = col("sh2")
       // lowercasing never changes whitespace boundaries, so the lowered
       // token array serves both counts — one tokenizer pass per row
-      docs(s, dir)
+      docsHeavy(s, dir)
         .withColumn("ltoks", TextOps.tokens(lower(col("text"))))
         .withColumn("sh2", TextOps.shinglesOf(col("ltoks"), 2))
         .select(col("doc_id"),
@@ -389,7 +397,7 @@ object SparkEntry {
       val lowStop = col("n_stop") * 20 < nTok
       val symbolHeavy = col("n_punct") * 5 > length(col("text"))
       val repetitive = (col("n_bi") - col("n_dbi")) * 4 > col("n_bi")
-      docs(s, dir)
+      docsHeavy(s, dir)
         .withColumn("ltoks", TextOps.tokens(lower(col("text"))))
         .withColumn("sh2", TextOps.shinglesOf(col("ltoks"), 2))
         .withColumn("n_tok", size(col("ltoks")))
@@ -412,7 +420,7 @@ object SparkEntry {
         lit("@example.com via https://ex.example/p/"), col("doc_id"),
         lit(" id 123456789"))
       val signals = TextOps.piiSignals(aug).map { case (n, c) => c.cast("long").as(n) }
-      docs(s, dir).select(
+      docsHeavy(s, dir).select(
           (col("doc_id") +: signals) :+ TextOps.redactPii(aug).as("redacted"): _*)
         .orderBy("doc_id")
     }),
@@ -422,10 +430,10 @@ object SparkEntry {
       // checkpoint (the page_view marker stream, deduped to unique
       // (user_id, ts)) at-or-before its own timestamp — union+window
       // forward fill, ONE shuffle on the key, no range-join explosion
-      val events = tbl(s, dir, "events")
+      val events = s.read.parquet(s"$dir/events.parquet")
         .filter(col("event_id") % 10 === 0)
         .select("event_id", "user_id", "ts", "event_type")
-      val checkpoints = tbl(s, dir, "events")
+      val checkpoints = s.read.parquet(s"$dir/events.parquet")
         .filter(col("event_type") === "view")
         .groupBy("user_id", "ts").agg(max(col("value")).as("cp_value"))
       JoinOps.asofJoin(events, checkpoints, "user_id", "ts", Seq("cp_value"))
@@ -441,7 +449,7 @@ object SparkEntry {
       // >=0.8, so no pair lands in the marginal [0.5, 0.7) band where
       // 8-row/64-band LSH recall would be probabilistic — the candidate
       // stage recovers the exact ground-truth edge set at every sf
-      val pairs = DedupOps.minhashNearDups(docs(s, dir), "doc_id", "text",
+      val pairs = DedupOps.minhashNearDups(docsHeavy(s, dir), "doc_id", "text",
         threshold = 0.5, numHashes = 512, bands = 64)
       val cc = DedupOps.connectedComponents(pairs.select("id_a", "id_b"))
       pairs.unpersist()
@@ -454,7 +462,7 @@ object SparkEntry {
       // keeper -> filtered survivor corpus. Same recall-calibrated LSH
       // parameters (and the same corpus bimodality argument) as
       // q_dedup_clusters, so the survivor set is SQL-derivable
-      DedupOps.dedupCorpus(docs(s, dir), "doc_id", "text",
+      DedupOps.dedupCorpus(docsHeavy(s, dir), "doc_id", "text",
           threshold = 0.5, numHashes = 512, bands = 64)
         .select("doc_id")
         .orderBy("doc_id")
@@ -466,7 +474,7 @@ object SparkEntry {
       // recall-calibrated LSH parameters as q_dedup_keepers, so the
       // cluster structure (and hence the policy's survivor set) is
       // SQL-derivable
-      DedupOps.dedupCorpus(docs(s, dir), "doc_id", "text",
+      DedupOps.dedupCorpus(docsHeavy(s, dir), "doc_id", "text",
           threshold = 0.5, numHashes = 512, bands = 64,
           keepBy = Some(length(col("text"))))
         .select("doc_id")
@@ -478,7 +486,7 @@ object SparkEntry {
       // whose 5-gram appears in the benchmark slice — the per-hit review
       // table behind q_contamination's counts (string-keyed so the oracle
       // is exact; positions are integer-exact shingle-index math)
-      val d = docs(s, dir)
+      val d = docsHeavy(s, dir)
       DedupOps.contaminationSpans(
           d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
           "doc_id", "text", k = 5, hashed = false)
@@ -493,7 +501,7 @@ object SparkEntry {
       // text light up end to end; organic word-soup collisions are flagged
       // identically by both engines — no recall gap, same window algebra).
       // String-keyed so the oracle is exact; hashed=true is the 100TB form
-      DedupOps.duplicateSpans(docs(s, dir), "doc_id", "text",
+      DedupOps.duplicateSpans(docsHeavy(s, dir), "doc_id", "text",
           k = 5, minCount = 2, hashed = false)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "span_start")
@@ -504,7 +512,7 @@ object SparkEntry {
       // scrubbed from every doc, tokens re-joined (whitespace-normalized
       // by contract); counts are integer-exact and the kept text is
       // string-exact, so the whole detect->strip composition oracles
-      DedupOps.stripDuplicateSpans(docs(s, dir), "doc_id", "text",
+      DedupOps.stripDuplicateSpans(docsHeavy(s, dir), "doc_id", "text",
           k = 5, minCount = 2, hashed = false)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
@@ -515,7 +523,7 @@ object SparkEntry {
       // the held-out "benchmark" slice (doc_id % 5 == 0). String-keyed
       // variant so the oracle is exact; the hashed variant (8-byte keys,
       // the 100 TB shape) is asserted equal in OpsSpec
-      val d = docs(s, dir)
+      val d = docsHeavy(s, dir)
       DedupOps.contamination(
           d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
           "doc_id", "text", k = 5, hashed = false)
@@ -531,7 +539,7 @@ object SparkEntry {
       // keep, q_dedup_keepers at threshold 0.5/512x64 over the FILTERED
       // corpus, q_contamination at k=5 vs the doc_id%5==0 bench slice),
       // so the composition is their SQL conjunction
-      val d = docs(s, dir)
+      val d = docsHeavy(s, dir)
       // The keep predicate is ONE self-contained bindOnce tree: the
       // withColumn+filter form evaluates the tokenizer/shingle pipeline
       // once per FLAG after filter pushdown substitutes each flag's full
@@ -703,7 +711,7 @@ object SparkEntry {
       // corpus), per-doc bits-per-token. Every log term is rounded to 6
       // decimals and summed as decimal(18,6), so the mean is bit-exact
       // across engines and partial-agg orders; <2-token docs score NULL
-      val d = docs(s, dir)
+      val d = docsHeavy(s, dir)
       val (bi, uni, v) = LmOps.bigramLm(d, "text")
       LmOps.perplexityBits(d, "doc_id", "text", bi, uni, v)
         .orderBy("doc_id")
@@ -713,7 +721,7 @@ object SparkEntry {
       // order-n generalization at n=3 (CCNet ships 5-gram models): ctx is
       // the space-joined (n-1)-gram, so the scoring join stays a
       // single-key equi-join at any order. Same decimal determinism
-      val d = docs(s, dir)
+      val d = docsHeavy(s, dir)
       val (ng, ctx, v) = LmOps.ngramLm(d, "text", n = 3)
       LmOps.perplexityBitsN(d, "doc_id", "text", ng, ctx, v, n = 3)
         .orderBy("doc_id")
@@ -837,7 +845,7 @@ object SparkEntry {
       // corpus-LM familiarity: sum of corpus-wide bigram occurrence counts
       // over each doc's bigram occurrences — the integer-exact n-gram-LM
       // quality signal (gibberish = rare transitions = low familiarity)
-      RetrievalOps.bigramFamiliarity(docs(s, dir), "doc_id", "text")
+      RetrievalOps.bigramFamiliarity(docsHeavy(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -934,7 +942,7 @@ object SparkEntry {
       // scale path): bloom prunes the train shingle stream map-side, the
       // exact verify join removes every false positive, so the oracle is
       // the identical SQL
-      val d = docs(s, dir)
+      val d = docsHeavy(s, dir)
       BloomOps.contaminationBloom(
           d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
           "doc_id", "text", k = 5, hashed = false)
@@ -955,7 +963,7 @@ object SparkEntry {
       // benchmark-overlap count, and the integer-exact >=20% flag — the
       // form real pipelines filter on (one shared n-gram is noise; a 20%
       // overlap is a leak). Same guarded-broadcast shape as q_contamination
-      val d = docs(s, dir)
+      val d = docsHeavy(s, dir)
       DedupOps.contaminationRatio(
           d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
           "doc_id", "text", k = 5, thresholdPct = 20, hashed = false)
@@ -1002,7 +1010,7 @@ object SparkEntry {
     }),
 
     "q_filter_dates" -> ((s, dir) => {
-      tbl(s, dir, "lineitem")
+      s.read.parquet(s"$dir/lineitem.parquet")
         .filter(col("l_shipdate") >= lit("1994-01-01") && col("l_shipdate") < lit("1995-01-01"))
         .groupBy(month(col("l_shipdate")).cast("long").as("ship_month"))
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
@@ -1010,7 +1018,7 @@ object SparkEntry {
     }),
 
     "q_having_custs" -> ((s, dir) => {
-      tbl(s, dir, "orders")
+      s.read.parquet(s"$dir/orders.parquet")
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 15)
@@ -1018,8 +1026,8 @@ object SparkEntry {
     }),
 
     "q_anti_join" -> ((s, dir) => {
-      val customer = tbl(s, dir, "customer")
-      val orders = tbl(s, dir, "orders")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
       customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
@@ -1151,7 +1159,7 @@ object SparkEntry {
       // threshold 0.5 sits in a wide gap; 64 bands x 8 rows makes the miss
       // probability at j>=0.8 ~8e-6/pair — verified equal to the exact
       // ground truth at sf0.001/0.01/0.1
-      DedupOps.minhashNearDups(docs(s, dir), "doc_id", "text",
+      DedupOps.minhashNearDups(docsHeavy(s, dir), "doc_id", "text",
           threshold = 0.5, numHashes = 512, bands = 64)
         .select("id_a", "id_b", "inter", "union")
         .orderBy("id_a", "id_b")
@@ -1166,7 +1174,7 @@ object SparkEntry {
       // original near-dupped with, and batch-internal pairs mirror the
       // originals' own pair set; the oracle recomputes exact shingle
       // jaccard over the SAME threshold-0.5 gap q_dedup_minhash uses
-      val d = docs(s, dir).select("doc_id", "text")
+      val d = docsHeavy(s, dir).select("doc_id", "text")
       val batch = d.filter(col("doc_id") < 50)
         .select((col("doc_id") + 500000).as("doc_id"), col("text"))
       val tmp = scratchDir("incdedup_q") + "/idx"
@@ -1263,7 +1271,7 @@ object SparkEntry {
     }),
 
     "q_langid_ngram" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"), TextOps.langIdNgram(col("text")).as("lang_ngram"))
+      docsHeavy(s, dir).select(col("doc_id"), TextOps.langIdNgram(col("text")).as("lang_ngram"))
         .orderBy("doc_id")
     }),
 
@@ -1277,7 +1285,7 @@ object SparkEntry {
       // and the whole hash/band/join/popcount pipeline oracles end-to-end
       // (the real-codec visual radius is proven on real PNGs in
       // MediaCodecSpec)
-      val d = docs(s, dir)
+      val d = docsHeavy(s, dir)
       val withCopies = d.select(col("doc_id"), col("text")).unionByName(
         d.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
@@ -1343,7 +1351,7 @@ object SparkEntry {
       // wrap exactly and the oracle is the source column itself — a lost
       // line, swapped column, missed kern-space, or escape bug all break
       // the hash. Both stages are mapPartitions: zero shuffles.
-      PdfOps.extractText(PdfOps.synthesize(docs(s, dir))).toDF()
+      PdfOps.extractText(PdfOps.synthesize(docsHeavy(s, dir))).toDF()
         .select(col("doc_id"), col("variant"),
           translate(col("extracted"), "\n", " ").as("roundtrip"))
         .orderBy("doc_id")

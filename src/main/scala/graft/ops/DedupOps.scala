@@ -239,12 +239,16 @@ object DedupOps {
         greatest(col("ma"), col("mb")).as("id_b") +: carry.map(col): _*)
 
   /** All (id_a < id_b, rep) pairs within each fingerprint group — exact
-    * duplicates by construction.
+    * duplicates by construction — plus the left member's `carry` columns.
+    * Callers should pre-filter the input to duplicate groups (group size
+    * > 1): the self-join is then quadratic only in duplicate members,
+    * never in the corpus-sized (id → rep) map.
     */
-  private def withinGroupPairs(byRep: DataFrame): DataFrame =
+  private def withinGroupPairs(byRep: DataFrame, carry: Seq[String] = Nil): DataFrame =
     byRep.as("x").join(byRep.as("y"),
         col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("x.rep").as("rep"))
+      .select(col("x.id").as("id_a") +: col("y.id").as("id_b") +:
+        col("x.rep").as("rep") +: carry.map(c => col(s"x.$c").as(c)): _*)
 
   /** Upper bound on candidate pairs lost to the bucket guard, derived from
     * the recorded oversized buckets (deduplicated by (band, bucket), so
@@ -298,10 +302,13 @@ object DedupOps {
 
     // (id → rep) is consumed four times by the pair expansion — cache the
     // tiny id-pair map instead of recomputing its corpus-scan lineage. The
-    // groups side re-derives only the fingerprint (cheap md5 scan).
+    // groups side re-derives only the fingerprint (cheap md5 scan). gsz and
+    // nsh ride along so the within-group stage below needs NO further join
+    // against repAgg and can pre-filter to duplicate groups only.
     val groups = df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
-    val byRep = groups.join(repAgg.select(col("fp"), col("rep")), "fp")
-      .select(col("id"), col("rep"))
+    val byRep = groups
+      .join(repAgg.select(col("fp"), col("rep"), col("gsz"), col("nsh")), "fp")
+      .select(col("id"), col("rep"), col("gsz"), col("nsh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val banded = repAgg.select(col("rep").as("id"),
@@ -319,12 +326,12 @@ object DedupOps {
     // Exact verification: fetch shingle sets for candidate reps only.
     val candIds = candidates.select(col("id_a").as("__cid"))
       .union(candidates.select(col("id_b").as("__cid"))).distinct()
-    // persisted + materialized: consumed by both sides of the pair join,
-    // so without this the semi-filtered corpus scan would run twice
+    // persisted: consumed by both sides of the pair join — block-level
+    // cache locking means whichever side computes a partition first feeds
+    // the other, so no eager count barrier is needed (one fewer action)
     val sets = df.join(broadcast(candIds), col(idCol) === col("__cid"), "left_semi")
       .select(col(idCol).as("id"), array_distinct(TextOps.shingles(col(textCol), k)).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    sets.count()
     val repPairs = candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -336,11 +343,13 @@ object DedupOps {
       .select("id_a", "id_b", "inter", "union", "jaccard")
 
     // within-group pairs are exact duplicates: jaccard 1 whenever the
-    // shingle set is non-empty
-    val repSetSize = repAgg.select(col("rep"), col("nsh"))
-    val within = withinGroupPairs(byRep)
-      .join(repSetSize, "rep")
-      .filter(col("nsh") > 0)
+    // shingle set is non-empty. Pre-filtering byRep to duplicate groups
+    // (gsz > 1, nsh > 0) makes the self-join quadratic only in the
+    // DUPLICATE members, never the corpus-sized (id → rep) map — at scale
+    // the unfiltered self-join would shuffle the whole map twice; it also
+    // removes the old join back against repAgg for nsh.
+    val dupMembers = byRep.filter(col("gsz") > 1 && col("nsh") > 0)
+    val within = withinGroupPairs(dupMembers, carry = Seq("nsh"))
       .select(col("id_a"), col("id_b"), col("nsh").as("inter"), col("nsh").as("union"),
         lit(1.0).as("jaccard"))
     val expanded = expandCross(repPairs, byRep, Seq("inter", "union", "jaccard"))
@@ -379,7 +388,8 @@ object DedupOps {
       .groupBy("fp")
       .agg(min(col("id")).as("rep"),
         min_by(col("bh"), col("id")).as("bh"),
-        min_by(col("nsh"), col("id")).as("nsh"))
+        min_by(col("nsh"), col("id")).as("nsh"),
+        count(lit(1)).as("gsz"))
 
   /** Connected components over an undirected pair list `(id_a, id_b)`:
     * one row `(id, cluster)` per vertex, `cluster` = the minimum id
@@ -1110,8 +1120,8 @@ object DedupOps {
     // normalized text, hence the same simhash.
     val repAgg = simhashRepAgg(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val groups = df.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
-    val byRep = groups.join(repAgg.select(col("fp"), col("rep")), "fp")
-      .select(col("id"), col("rep"))
+    val byRep = groups.join(repAgg.select(col("fp"), col("rep"), col("gsz")), "fp")
+      .select(col("id"), col("rep"), col("gsz"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val sigs = repAgg.select(col("rep").as("id"), col("sim").as("sig"))
@@ -1119,7 +1129,9 @@ object DedupOps {
       bandedHammingPairs(sigs, nBands = 4, maxHamming, maxBucket, Some(skipped))
 
     val cross = expandCross(repPairs, byRep, Seq("hamming"))
-    val within = withinGroupPairs(byRep)
+    // duplicate groups only — the self-join never touches the corpus-sized
+    // (id -> rep) map (see withinGroupPairs)
+    val within = withinGroupPairs(byRep.filter(col("gsz") > 1))
       .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
 
     val result = cross.unionByName(within).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1226,7 +1238,8 @@ object DedupOps {
     df.select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol).as("id"),
         simhash64(col(textCol)).as("sim"))
       .groupBy("fp")
-      .agg(min(col("id")).as("rep"), min_by(col("sim"), col("id")).as("sim"))
+      .agg(min(col("id")).as("rep"), min_by(col("sim"), col("id")).as("sim"),
+        count(lit(1)).as("gsz"))
 
   /** CORPUS-WIDE duplicate-line removal (C4-style): every line that occurs
     * more than once anywhere in the corpus keeps only its globally-first

@@ -744,20 +744,37 @@ object DedupOps {
         cc.labels.filter(col("cluster") =!= col("id"))
           .select(col("id").as("__loser_id"))
       case Some(keyCol) =>
-        // two-level agg, no window: per-cluster max key, then the min id
-        // among members attaining it — deterministic, skew-safe.
-        // Null-safe equality (<=>) on the max: a cluster whose keep key is
-        // null for EVERY member would otherwise produce no keeper at all
-        // (null === null is null) and silently keep every duplicate; with
-        // <=> such a cluster falls back to the min-id policy (all members
-        // tie at null, min id wins). Mixed clusters are unaffected: max()
-        // skips nulls, and null <=> non-null is false.
         val members = cc.labels
           .join(df.select(col(idCol).as("id"), keyCol.as("__kv")), "id")
-        val best = members.groupBy("cluster").agg(max(col("__kv")).as("__mx"))
-        val keepers = members.join(best, "cluster")
-          .filter(col("__kv") <=> col("__mx"))
-          .groupBy("cluster").agg(min(col("id")).as("__keeper"))
+        val idIsNum = df.schema(idCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        val keepers =
+          if (idIsNum)
+            // single-aggregate argmax (one exchange, no join back):
+            // lexicographic max of (key, -id) picks the max key with ties
+            // broken by MIN id. A cluster whose key is null for EVERY
+            // member falls back to the min-id policy (a null struct field
+            // sorts before non-null, equal nulls fall through to the id
+            // leg) and a mixed cluster ignores its null members — exactly
+            // the previous two-aggregate policy. (-id is exact for any
+            // realistic id; only Long.MinValue itself would overflow.)
+            members.groupBy("cluster")
+              .agg(max(struct(col("__kv"),
+                (-col("id").cast("long")).as("nid"))).as("__best"))
+              .select(col("cluster"), (-col("__best.nid")).as("__keeper"))
+          else {
+            // generic-id fallback: two-level agg, no window — per-cluster
+            // max key, then the min id among members attaining it.
+            // Null-safe equality (<=>) on the max: an all-null-key cluster
+            // would otherwise produce no keeper at all (null === null is
+            // null) and silently keep every duplicate; with <=> it falls
+            // back to the min-id policy. Mixed clusters are unaffected:
+            // max() skips nulls, and null <=> non-null is false.
+            val best = members.groupBy("cluster").agg(max(col("__kv")).as("__mx"))
+            members.join(best, "cluster")
+              .filter(col("__kv") <=> col("__mx"))
+              .groupBy("cluster").agg(min(col("id")).as("__keeper"))
+          }
         cc.labels.join(keepers, "cluster")
           .filter(col("id") =!= col("__keeper"))
           .select(col("id").as("__loser_id"))

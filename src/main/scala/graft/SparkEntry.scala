@@ -1271,7 +1271,9 @@ object SparkEntry {
     }),
 
     "q_langid_ngram" -> ((s, dir) => {
-      docsHeavy(s, dir).select(col("doc_id"), TextOps.langIdNgram(col("text")).as("lang_ngram"))
+      // raw scan: the trigram UDF wins warm from fan-out but the extra
+      // stage's cold codegen outweighs it in a run-once regime (A/B'd)
+      docs(s, dir).select(col("doc_id"), TextOps.langIdNgram(col("text")).as("lang_ngram"))
         .orderBy("doc_id")
     }),
 

@@ -176,6 +176,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors == Set(1L, 11L, 20L), survivors.toString)
   }
 
+  test("dedupCorpus keepBy: generic string-id path applies the identical policy") {
+    // string ids take the two-aggregate fallback (the numeric single-agg
+    // argmax can't negate the id); same clusters as the numeric tests:
+    // {a1,a2} both null -> min-id keeper a1; {b1,b2} mixed -> non-null
+    // score wins (b2); {c1} untouched; {d5,d9} tie on score -> min id d5
+    val df = spark.createDataFrame(Seq(
+      ("a1", "aa bb cc dd ee", null.asInstanceOf[java.lang.Long]),
+      ("a2", "aa bb cc dd ee", null.asInstanceOf[java.lang.Long]),
+      ("b1", "ff gg hh ii jj", null.asInstanceOf[java.lang.Long]),
+      ("b2", "ff gg hh ii jj", java.lang.Long.valueOf(7L)),
+      ("c1", "zz unrelated doc here", java.lang.Long.valueOf(1L)),
+      ("d5", "kk ll mm nn oo", java.lang.Long.valueOf(3L)),
+      ("d9", "kk ll mm nn oo", java.lang.Long.valueOf(3L))))
+      .toDF("doc_id", "text", "score")
+    val survivors = DedupOps.dedupCorpus(df, "doc_id", "text", threshold = 0.8,
+        keepBy = Some(col("score")))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(survivors == Set("a1", "b2", "c1", "d5"), survivors.toString)
+  }
+
   test("dedupCorpus artifactDir: stages commit, resume consumes them, partials are repaired") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_dc_art").toString

@@ -527,8 +527,13 @@ object DedupOps {
       // nothing for the unique pair lists the dedup pipelines emit.
       // Callers with heavily-duplicated pair lists should distinct first —
       // duplicates cost per-round join width, never correctness.
+      // Hash-partitioned by dst BEFORE caching: every propagation round
+      // joins edges on dst, so the cached partitioning satisfies the
+      // join's distribution and only the (small) labels side shuffles per
+      // round — one upfront edge shuffle replaces one per round.
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .repartition(col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       edgesHandle = Some(edges) // released in finally: failure paths too
 

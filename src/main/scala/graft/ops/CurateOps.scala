@@ -165,8 +165,17 @@ object CurateOps {
         sum("__toks").as("n_tokens"),
         sum("__empty").as("n_empty"),
         count(lit(1)).as("n_langs"),
-        min(struct((-col("__docs")).as("negc"), col("__lang").as("lang")))
-          .getField("lang").as("top_lang"),
+        // NULL lang sorts LAST inside the argmax (ADVICE r5): Spark's
+        // min(struct) orders null fields first, but the oracle's ORDER BY
+        // lang is NULLS LAST — a null group tying for the max doc count
+        // would diverge. The sentinel (max 3-byte UTF-8 char, above any
+        // real language tag) makes null lose ties in both engines and is
+        // mapped back to null when the null group wins outright.
+        nullif(
+          min(struct((-col("__docs")).as("negc"),
+            coalesce(col("__lang"), lit("\uffff")).as("lang")))
+            .getField("lang"),
+          lit("\uffff")).as("top_lang"),
         round(sum("__toks").cast("double") / sum("__docs"), 4).as("mean_tokens"),
         round(sum("__chars").cast("double") / sum("__docs"), 4).as("mean_chars"))
   }

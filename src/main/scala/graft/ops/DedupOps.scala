@@ -1196,7 +1196,10 @@ object DedupOps {
     * the SimHash shape) gives 65k values per band and holds to ~10^7–10^8
     * distinct signatures; nBands = 2 (guarantee ≤ 1) holds at 10^9+. Wide
     * radii over large corpora need a different algorithm entirely
-    * (multi-probe or BK-tree serving), not more bands here.
+    * (multi-probe or BK-tree serving), not more bands here. The DEFAULTS
+    * are therefore the corpus-scale shape (maxHamming = 3, nBands = 4 —
+    * the same configuration the media wrappers use); callers wanting the
+    * wider 8-band radius on a small corpus opt in explicitly.
     *
     * The returned frame is persisted and materialized (the pair list is
     * consumed repeatedly downstream — clustering, keeper joins); the
@@ -1204,12 +1207,22 @@ object DedupOps {
     * [[minhashNearDups]].
     */
   def hammingNearDups(sigs: DataFrame, idCol: String, sigCol: String,
-                      maxHamming: Int = 6, nBands: Int = 8,
+                      maxHamming: Int = 3, nBands: Int = 4,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(nBands >= 1 && nBands <= 64 && 64 % nBands == 0,
       s"nBands must divide 64: $nBands")
     require(maxHamming >= 0 && maxHamming <= 64,
       s"maxHamming must be in [0,64]: $maxHamming")
+    // fail fast on non-integral id/signature columns: the long cast below
+    // would turn e.g. UUID-string ids into nulls, null < null drops every
+    // candidate, and the operator would return an EMPTY pair set — a
+    // silent wrong answer (ADVICE r5)
+    Seq(idCol, sigCol).foreach { c =>
+      require(Seq("byte", "short", "int", "bigint")
+          .contains(sigs.schema(c).dataType.simpleString),
+        s"hammingNearDups needs integral '$c'; got " +
+          sigs.schema(c).dataType.simpleString)
+    }
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val spark = sigs.sparkSession

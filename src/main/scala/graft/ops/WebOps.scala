@@ -179,22 +179,29 @@ object WebOps {
     * matching). Iterative star-backtracking, no regex compilation in the
     * per-URL hot path.
     */
-  private[ops] def robotsMatches(pattern: String, path: String): Boolean = {
-    val anchored = pattern.nonEmpty && pattern.last == '$'
-    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
-    var pi = 0; var si = 0
+  private[ops] def robotsMatches(pattern: String, path: String): Boolean =
+    robotsMatchesFrom(pattern, 0, path)
+
+  /** [[robotsMatches]] over `pattern.substring(from)` without the
+    * substring allocation — the per-(rule, URL) hot-path form used by the
+    * encoded-rule decision below.
+    */
+  private[ops] def robotsMatchesFrom(pattern: String, from: Int, path: String): Boolean = {
+    val anchored = pattern.length > from && pattern.charAt(pattern.length - 1) == '$'
+    val pEnd = if (anchored) pattern.length - 1 else pattern.length
+    var pi = from; var si = 0
     var starPi = -1; var starSi = -1
     while (true) {
-      if (pi == p.length) {
+      if (pi == pEnd) {
         if (!anchored || si == path.length) return true
         // anchored with path left over: only a '*' can absorb it
         if (starPi < 0) return false
         starSi += 1
         if (starSi > path.length) return false
         si = starSi; pi = starPi + 1
-      } else if (p.charAt(pi) == '*') {
+      } else if (pattern.charAt(pi) == '*') {
         starPi = pi; starSi = si; pi += 1
-      } else if (si < path.length && p.charAt(pi) == path.charAt(si)) {
+      } else if (si < path.length && pattern.charAt(pi) == path.charAt(si)) {
         pi += 1; si += 1
       } else if (starPi >= 0) {
         starSi += 1
@@ -222,6 +229,35 @@ object WebOps {
       i += 1
     }
     bestAllow
+  }
+
+  /** [[robotsAllowed]] over COMPILE-TIME-SORTED encoded rules — each rule
+    * is `('A'|'D') + pattern`, ordered by pattern length descending — the
+    * per-URL serving form: the scan stops at the first length boundary
+    * below a match (shorter rules can never override it), and within the
+    * matched length allow wins. Decision-identical to [[robotsAllowed]]
+    * for any rule set and path (spec-pinned against it on random rule
+    * sets), without the per-row Row-to-RobotsRule re-boxing the previous
+    * UDF paid over the whole URL corpus.
+    */
+  private[ops] def robotsAllowedEncoded(rules: Seq[String], path: String): Boolean = {
+    var found = false
+    var foundAllow = false
+    var foundLen = -1
+    val it = rules.iterator
+    while (it.hasNext) {
+      val e = it.next()
+      val plen = e.length - 1
+      if (found && plen < foundLen) return foundAllow
+      // once allow is locked at this length, further same-length rules
+      // cannot change the decision — skip their matcher runs
+      if (!(found && foundAllow) && robotsMatchesFrom(e, 1, path)) {
+        val allow = e.charAt(0) == 'A'
+        if (!found) { found = true; foundLen = plen; foundAllow = allow }
+        else if (allow) foundAllow = true
+      }
+    }
+    if (found) foundAllow else true
   }
 
   /** Path (plus query, minus fragment) of a URL for robots matching; a
@@ -258,8 +294,15 @@ object WebOps {
                   txtCol: String = "robots_txt",
                   maxBroadcastHosts: Long = 10000000L): DataFrame = {
     val ag = agent
+    // encoded + sorted ONCE per host at compile time (see
+    // robotsAllowedEncoded): length-descending order enables the serving
+    // scan's early exit, and the single string array avoids per-URL
+    // struct-Row decoding (stable sort keeps parse order within a length
+    // — deterministic)
     val compileUdf = udf { (txt: String) =>
-      parseRobots(txt, ag).map(r => (r.allow, r.pattern))
+      parseRobots(txt, ag)
+        .sortBy(-_.pattern.length)
+        .map(r => (if (r.allow) "A" else "D") + r.pattern)
     }
     // host key normalized EXACTLY like urlHost normalizes the URL side
     // (lowercase, trailing FQDN dot, leading www.) — a robots row keyed by
@@ -279,10 +322,9 @@ object WebOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nHosts = compiled.count()
     val side = if (nHosts <= maxBroadcastHosts) broadcast(compiled) else compiled
-    val decideUdf = udf { (rules: Seq[org.apache.spark.sql.Row], path: String) =>
+    val decideUdf = udf { (rules: Seq[String], path: String) =>
       if (rules == null) true
-      else robotsAllowed(
-        rules.map(r => RobotsRule(r.getBoolean(0), r.getString(1))).toArray, path)
+      else robotsAllowedEncoded(rules, path)
     }
     df.join(side, urlHost(col(urlCol)) === col("__rb_host"), "left")
       .withColumn("allowed", decideUdf(col("__rb_rules"), urlPath(col(urlCol))))

@@ -334,7 +334,8 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and one far pair at hamming 20 (over the radius -> excluded)
     val far = Seq((999L, flip(bases.head._2, 20)))
     val sigs = spark.createDataFrame(bases ++ twins ++ far).toDF("id", "sig")
-    val pairs = DedupOps.hammingNearDups(sigs, "id", "sig", maxHamming = 7)
+    // explicit 8-band opt-in: the scale-safe default is 4 bands (radius 3)
+    val pairs = DedupOps.hammingNearDups(sigs, "id", "sig", maxHamming = 7, nBands = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     twins.zip(bases.take(7)).foreach { case ((tid, _), (bid, _)) =>
       assert(pairs.contains((bid, tid)), s"planted twin ($bid,$tid) missed: $pairs")

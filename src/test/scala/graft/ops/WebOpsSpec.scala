@@ -192,6 +192,32 @@ class WebOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(WebOps.robotsAllowed(Array.empty, "/anything"))
   }
 
+  test("robotsAllowedEncoded: decision-identical to robotsAllowed on random rule sets") {
+    // the serving path sorts encoded rules by pattern length desc and
+    // early-exits; it must agree with the reference decision for every
+    // rule set and path — adversarial pieces included (*, $, empty, ties)
+    val rnd = new scala.util.Random(42)
+    val pieces = Array("/a", "/ab", "/a/", "*", "b", "$", "", "/priv", "c/")
+    def randPattern(): String = {
+      val n = rnd.nextInt(4)
+      val body = (0 until n).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+      if (body.endsWith("$") || rnd.nextInt(4) > 0) body else body + "$"
+    }
+    val paths = Array("/a", "/ab/x", "/a/bc", "/priv/x", "/c/", "", "/b$", "/abcabc")
+    for (_ <- 1 to 400) {
+      val rules = Array.fill(rnd.nextInt(6))(
+        WebOps.RobotsRule(rnd.nextBoolean(), randPattern()))
+      val encoded = rules.sortBy(-_.pattern.length)
+        .map(r => (if (r.allow) "A" else "D") + r.pattern).toSeq
+      for (p <- paths) {
+        val ref = WebOps.robotsAllowed(rules, p)
+        val got = WebOps.robotsAllowedEncoded(encoded, p)
+        assert(got == ref,
+          s"divergence on path '$p' rules ${rules.mkString(",")}: ref=$ref got=$got")
+      }
+    }
+  }
+
   test("applyRobots: per-host decisions, missing robots and hostless rows allowed; robots side broadcasts") {
     val s = spark; import s.implicits._
     val corpus = Seq(
